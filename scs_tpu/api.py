@@ -1,0 +1,480 @@
+"""Public API: the SCS class, scs.solve(), and the LinearSolver enum.
+
+Drop-in counterpart of the reference Python layer
+(/root/reference/scs/py/__init__.py): same constructor/data validation
+semantics (CSC acceptance with warning, sparse b/c flattening, P upper-
+triangle extraction), same solve()/update() signatures, same info dict.
+
+The reference's seven native linear-system backends collapse onto two
+TPU-native strategies (SURVEY.md §2.4 "TPU mapping"): batched dense
+Cholesky ("direct") and matrix-free preconditioned CG ("indirect"); the
+LinearSolver enum maps every reference backend name onto one of them so
+existing call sites keep working.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+import warnings
+
+import numpy as np
+from scipy import sparse
+
+import jax.numpy as jnp
+
+from . import info as info_mod
+from .cones import ConeSpec
+from .io import CsvLogger, print_footer, print_header, print_iter_line, write_problem
+from .normalize import identity_scaling, ruiz_equilibrate
+from .settings import Settings
+from .solver import Mats, get_core
+
+
+class LinearSolver(enum.Enum):
+    """Linear system solver backend (reference names; TPU mapping).
+
+    Reference: scs/py/__init__.py:28-37. Direct backends (QDLDL, MKL,
+    ACCELERATE, CPU_DENSE, CUDSS) map to the batched dense Cholesky path;
+    indirect backends (CPU_INDIRECT, GPU_INDIRECT) map to matrix-free CG.
+    """
+
+    AUTO = "auto"
+    QDLDL = "qdldl"
+    CPU_INDIRECT = "cpu_indirect"
+    MKL = "mkl"
+    ACCELERATE = "accelerate"
+    CPU_DENSE = "cpu_dense"
+    GPU_INDIRECT = "gpu_indirect"
+    CUDSS = "cudss"
+    # TPU-native names
+    DENSE_DIRECT = "dense_direct"
+    PALLAS_CG = "pallas_cg"
+
+
+_DIRECT = {
+    LinearSolver.QDLDL,
+    LinearSolver.MKL,
+    LinearSolver.ACCELERATE,
+    LinearSolver.CPU_DENSE,
+    LinearSolver.CUDSS,
+    LinearSolver.DENSE_DIRECT,
+}
+_INDIRECT = {
+    LinearSolver.CPU_INDIRECT,
+    LinearSolver.GPU_INDIRECT,
+    LinearSolver.PALLAS_CG,
+}
+
+
+def _resolve_strategy(linear_solver, m, n) -> str:
+    if isinstance(linear_solver, str):
+        linear_solver = LinearSolver(linear_solver)
+    if linear_solver in _DIRECT:
+        return "direct"
+    if linear_solver in _INDIRECT:
+        return "indirect"
+    # AUTO heuristic: dense factorization for moderate n, CG for large
+    return "direct" if n <= 4096 else "indirect"
+
+
+def _has_lower_tri(P):
+    """Fast check for strictly-lower-triangular entries in sorted CSC
+    (mirrors reference _has_lower_tri, scs/py/__init__.py:77-84)."""
+    nnz_per_col = np.diff(P.indptr)
+    nonempty = nnz_per_col > 0
+    if not nonempty.any():
+        return False
+    last_row = P.indices[P.indptr[1:][nonempty] - 1]
+    return bool(np.any(last_row > np.where(nonempty)[0]))
+
+
+class SCS:
+    """Conic QP solver instance (workspace + factorization + warm-start
+    store) — the counterpart of the reference SCS object
+    (scs/py/__init__.py:87 + scs/scsobject.h SCS_init/SCS_solve)."""
+
+    def __init__(self, data, cone, **settings):
+        if not data or not cone:
+            raise ValueError("Missing data or cone information")
+        if "b" not in data or "c" not in data:
+            raise ValueError("Missing one of b, c from data dictionary")
+        if "A" not in data:
+            raise ValueError("Missing A from data dictionary")
+
+        A = data["A"]
+        b = data["b"]
+        c = data["c"]
+        if A is None or b is None or c is None:
+            raise ValueError("Incomplete data specification")
+
+        dense_ok = settings.pop("allow_dense_input", True)
+        if not sparse.issparse(A):
+            if not dense_ok or not isinstance(A, np.ndarray):
+                raise TypeError("A is required to be a sparse matrix")
+            A_dense = np.asarray(A, np.float64)
+            self._A_input = sparse.csc_matrix(A_dense)
+        else:
+            if A.format != "csc":
+                warnings.warn(
+                    "Converting A to a CSC (compressed sparse column) matrix;"
+                    " may take a while."
+                )
+                A = A.tocsc()
+            if not A.has_sorted_indices:
+                A = A.sorted_indices()
+            self._A_input = A
+            A_dense = np.asarray(A.todense())
+
+        if sparse.issparse(b):
+            b = np.asarray(b.todense()).ravel()
+        if sparse.issparse(c):
+            c = np.asarray(c.todense()).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        c = np.asarray(c, np.float64).ravel()
+        m, n = len(b), len(c)
+        if m <= 0 or n <= 0:
+            raise ValueError("m and n must be positive")
+        if A_dense.shape != (m, n):
+            raise ValueError("A shape not compatible with b,c")
+
+        P_dense = None
+        if "P" in data and data["P"] is not None:
+            P = data["P"]
+            if not sparse.issparse(P):
+                if not dense_ok or not isinstance(P, np.ndarray):
+                    raise TypeError("P is required to be a sparse matrix")
+                P = sparse.csc_matrix(np.asarray(P, np.float64))
+            if P.shape != (n, n):
+                raise ValueError("P shape not compatible with A,b,c")
+            if P.format != "csc":
+                warnings.warn(
+                    "Converting P to a CSC (compressed sparse column) "
+                    "matrix; may take a while."
+                )
+                P = P.tocsc()
+            if not P.has_sorted_indices:
+                P = P.sorted_indices()
+            if _has_lower_tri(P):
+                P = sparse.triu(P, format="csc")
+            # P holds the upper triangle; expand to the full symmetric
+            # matrix for the dense TPU path.
+            U = np.asarray(P.todense())
+            P_dense = U + U.T - np.diag(np.diag(U))
+
+        # settings: reference keyword surface + TPU extras
+        linear_solver = settings.pop("linear_solver", LinearSolver.AUTO)
+        self.stg = Settings.from_kwargs(**settings)
+        strategy = (
+            self.stg.solver_strategy
+            if self.stg.solver_strategy != "auto"
+            else _resolve_strategy(linear_solver, m, n)
+        )
+        object.__setattr__(self.stg, "solver_strategy", strategy)
+
+        spec = ConeSpec.from_dict(cone)
+        if spec.dim != m:
+            raise ValueError(
+                f"Total cone dimension {spec.dim} does not match length of b ({m})"
+            )
+        self.spec = spec
+        self.m, self.n = m, n
+        self._cone_dict = dict(cone)
+        self._b_orig, self._c_orig = b, c
+
+        t0 = time.perf_counter()
+        # normalization (host-side numpy preprocessing; SURVEY §2.3 maps
+        # src/normalize.c -> "pure jnp/numpy preprocessing")
+        if self.stg.normalize:
+            Ah, Ph, bh, ch, scal, spec_hat = ruiz_equilibrate(
+                A_dense, P_dense, b, c, spec
+            )
+        else:
+            scal = identity_scaling(m, n)
+            Ah, Ph, bh, ch, spec_hat = A_dense, P_dense, b, c, spec
+        self._scal = scal
+        self._spec_hat = spec_hat
+
+        dtype = jnp.float64 if self.stg.dtype == "float64" else jnp.float32
+        self._dtype = dtype
+        has_P = P_dense is not None
+        self.has_P = has_P
+        self.mats = Mats(
+            A=jnp.asarray(Ah, dtype),
+            P=jnp.asarray(Ph, dtype) if has_P else jnp.zeros((0, 0), dtype),
+            bn=jnp.asarray(bh, dtype),
+            cn=jnp.asarray(ch, dtype),
+            bl=jnp.asarray(spec_hat.bl, dtype),
+            bu=jnp.asarray(spec_hat.bu, dtype),
+            D=jnp.asarray(scal.D, dtype),
+            E=jnp.asarray(scal.E, dtype),
+            sc_b=jnp.asarray(scal.sc_b, dtype),
+            sc_c=jnp.asarray(scal.sc_c, dtype),
+            norm_b=jnp.asarray(np.linalg.norm(b), dtype),
+            norm_c=jnp.asarray(np.linalg.norm(c), dtype),
+        )
+
+        self.core = get_core(m, n, has_P, spec_hat, self.stg)
+        # setup = factorization (+ g); blocks until on device
+        self._state0 = self.core.init_state(self.mats)
+        _ = self._state0.gx.block_until_ready()
+        self._setup_time = time.perf_counter() - t0
+        self._warm = None  # (u, v) from the previous solve
+
+        if self.stg.write_data_filename:
+            write_problem(
+                self.stg.write_data_filename,
+                {"A": self._A_input, "b": b, "c": c, "P": data.get("P")},
+                cone,
+                {
+                    k: getattr(self.stg, k)
+                    for k in (
+                        "max_iters",
+                        "eps_abs",
+                        "eps_rel",
+                        "eps_infeas",
+                        "alpha",
+                        "scale",
+                        "rho_x",
+                        "normalize",
+                        "adaptive_scale",
+                    )
+                },
+            )
+
+    # -- warm start plumbing ----------------------------------------------
+
+    def _warm_state(self, x, y, s):
+        """Map user-provided (x, y, s) into normalized embedding (u, v)."""
+        core, mats = self.core, self.mats
+        n, m = self.n, self.m
+        scal = self._scal
+        u = np.zeros(core.N)
+        v = np.zeros(core.N)
+        u[-1] = 1.0
+        if x is not None:
+            u[:n] = scal.sc_b * np.asarray(x, np.float64) / scal.E
+        if y is not None:
+            u[n : n + m] = scal.sc_c * np.asarray(y, np.float64) / scal.D
+        if s is not None:
+            st_hat = scal.sc_b * scal.D * np.asarray(s, np.float64)
+            ry = np.where(
+                np.asarray(self.spec.zero_row_mask()),
+                1e-3 / self.stg.scale,
+                1.0 / self.stg.scale,
+            )
+            v[n : n + m] = st_hat / ry
+        return jnp.asarray(u, self._dtype), jnp.asarray(v, self._dtype)
+
+    # -- main entry points -------------------------------------------------
+
+    def solve(self, warm_start=True, x=None, y=None, s=None):
+        """Run the solver. Mirrors reference SCS.solve
+        (scs/py/__init__.py:186-203)."""
+        core, mats, stg = self.core, self.mats, self.stg
+        t0 = time.perf_counter()
+
+        if warm_start and (x is not None or y is not None or s is not None):
+            warm_u, warm_v = self._warm_state(x, y, s)
+            state = core.init_state(mats, warm_u, warm_v)
+        elif warm_start and self._warm is not None:
+            state = core.init_state(mats, *self._warm)
+        else:
+            state = core.init_state(mats)
+
+        interrupted = False
+        verbose = stg.verbose
+        csv = CsvLogger(stg.log_csv_filename) if stg.log_csv_filename else None
+        host_loop = verbose or csv is not None or stg.time_limit_secs > 0
+
+        if verbose:
+            print_header(
+                stg,
+                self.m,
+                self.n,
+                self.spec,
+                "dense-cholesky (TPU direct)"
+                if stg.solver_strategy == "direct"
+                else "matrix-free CG (TPU indirect)",
+                "1.0.0",
+            )
+
+        try:
+            if not host_loop:
+                state = core._jit_run(state, mats, stg.max_iters)
+            else:
+                while (
+                    int(state.status) == info_mod.UNFINISHED
+                    and int(state.it) < stg.max_iters
+                ):
+                    state = core._jit_chunk(state, mats)
+                    el = time.perf_counter() - t0
+                    if verbose:
+                        d = state.diag
+                        print_iter_line(
+                            int(state.it),
+                            float(d.res_pri),
+                            float(d.res_dual),
+                            float(d.gap),
+                            float(d.pobj),
+                            float(state.scale),
+                            el,
+                        )
+                    if csv is not None:
+                        self._write_csv_row(csv, state, el)
+                    if stg.time_limit_secs and el > stg.time_limit_secs:
+                        break
+        except KeyboardInterrupt:
+            interrupted = True
+        finally:
+            if csv is not None:
+                csv.close()
+
+        solve_time = time.perf_counter() - t0
+        out = self._build_solution(state, solve_time, interrupted)
+        if verbose:
+            print_footer(out["info"])
+        return out
+
+    def _write_csv_row(self, csv, state, elapsed):
+        d = state.diag
+        vals = {
+            "iter": int(state.it),
+            "res_pri": float(d.res_pri),
+            "res_dual": float(d.res_dual),
+            "gap": float(d.gap),
+            "pobj": float(d.pobj),
+            "dobj": float(d.dobj),
+            "res_infeas": float(d.res_infeas),
+            "res_unbdd_a": float(d.res_unbdd_a),
+            "res_unbdd_p": float(d.res_unbdd_p),
+            "tau": float(state.u[-1]),
+            "kap": float(state.v[-1]),
+            "scale": float(state.scale),
+            "aa_norm": float(state.aa.last_aa_norm),
+            "time": float(elapsed),
+            # normalized-space duplicates (same definitions, normalized data)
+            "res_pri_normalized": float(d.res_pri),
+            "res_dual_normalized": float(d.res_dual),
+            "gap_normalized": float(d.gap),
+            "pobj_normalized": float(d.pobj),
+            "dobj_normalized": float(d.dobj),
+            "tau_normalized": float(state.u[-1]),
+            "kap_normalized": float(state.v[-1]),
+        }
+        csv.write_row(vals)
+
+    def _build_solution(self, state, solve_time, interrupted):
+        core, mats = self.core, self.mats
+        x, y, s, x_cert, y_cert, s_cert, relaxed, diag = core._jit_finalize(
+            state, mats
+        )
+        status = int(state.status)
+        it = int(state.it)
+        if interrupted:
+            status = info_mod.SIGINT
+        elif status == info_mod.UNFINISHED:
+            # exhausted max_iters / time limit: classify best guess with
+            # relaxed tolerances (reference *_inaccurate semantics)
+            relaxed = int(relaxed)
+            if relaxed == info_mod.SOLVED:
+                status = info_mod.SOLVED_INACCURATE
+            elif relaxed == info_mod.INFEASIBLE:
+                status = info_mod.INFEASIBLE_INACCURATE
+            elif relaxed == info_mod.UNBOUNDED:
+                status = info_mod.UNBOUNDED_INACCURATE
+            else:
+                status = info_mod.SOLVED_INACCURATE
+
+        nan_n = np.full(self.n, np.nan)
+        nan_m = np.full(self.m, np.nan)
+        if status in (info_mod.INFEASIBLE, info_mod.INFEASIBLE_INACCURATE):
+            x_out, y_out, s_out = nan_n, np.asarray(y_cert), nan_m
+        elif status in (info_mod.UNBOUNDED, info_mod.UNBOUNDED_INACCURATE):
+            x_out, y_out, s_out = np.asarray(x_cert), nan_m, np.asarray(s_cert)
+        else:
+            x_out, y_out, s_out = np.asarray(x), np.asarray(y), np.asarray(s)
+
+        # store the embedding state for warm starting the next solve
+        self._warm = (state.u, state.v)
+
+        aa = state.aa
+        aa_stats = {
+            "iter": int(aa.aa_iter),
+            "n_accept": int(aa.n_accept),
+            "n_reject_lapack": 0,
+            "n_reject_rank0": 0,
+            "n_reject_nonfinite": int(aa.n_reject_nonfinite),
+            "n_reject_weight_cap": int(aa.n_reject_weight_cap),
+            "n_safeguard_reject": int(aa.n_safeguard_reject),
+            "last_rank": int(min(max(int(aa.count), 0), core.lookback)),
+            "last_aa_norm": float(aa.last_aa_norm),
+            "last_regularization": float(aa.last_reg),
+        }
+        if core.lookback == 0:
+            aa_stats = info_mod.default_aa_stats()
+
+        d = state.diag
+        info = info_mod.make_info(
+            status,
+            it,
+            scale_updates=int(state.scale_updates),
+            scale=float(state.scale),
+            pobj=float(d.pobj),
+            dobj=float(d.dobj),
+            res_pri=float(d.res_pri),
+            res_dual=float(d.res_dual),
+            gap=float(d.gap),
+            res_infeas=float(d.res_infeas),
+            res_unbdd_a=float(d.res_unbdd_a),
+            res_unbdd_p=float(d.res_unbdd_p),
+            comp_slack=float(d.comp_slack),
+            solve_time=solve_time,
+            setup_time=self._setup_time,
+            lin_sys_time=0.0,
+            cone_time=0.0,
+            accel_time=0.0,
+            rejected_accel_steps=int(aa.n_safeguard_reject)
+            + int(aa.n_reject_nonfinite)
+            + int(aa.n_reject_weight_cap),
+            accepted_accel_steps=int(aa.n_accept),
+            aa_stats=aa_stats,
+        )
+        return {"x": x_out, "y": y_out, "s": s_out, "info": info}
+
+    def update(self, b=None, c=None):
+        """Update b and/or c without refactorizing (reference SCS.update,
+        scs/py/__init__.py:205-214; core semantics per SURVEY §3.3)."""
+        scal = self._scal
+        mats = self.mats
+        if b is not None:
+            b = np.asarray(b, np.float64).ravel()
+            if len(b) != self.m:
+                raise ValueError("new b has incompatible dimension")
+            self._b_orig = b
+            mats = mats._replace(
+                bn=jnp.asarray(scal.sc_b * scal.D * b, self._dtype),
+                norm_b=jnp.asarray(np.linalg.norm(b), self._dtype),
+            )
+        if c is not None:
+            c = np.asarray(c, np.float64).ravel()
+            if len(c) != self.n:
+                raise ValueError("new c has incompatible dimension")
+            self._c_orig = c
+            mats = mats._replace(
+                cn=jnp.asarray(scal.sc_c * scal.E * c, self._dtype),
+                norm_c=jnp.asarray(np.linalg.norm(c), self._dtype),
+            )
+        self.mats = mats
+        # g depends on (b, c): refresh it (factorization is reused — the
+        # parametric-solve fast path)
+        self._state0 = self.core.init_state(self.mats)
+
+
+def solve(data, cone, **settings):
+    """One-shot legacy API (reference scs/py/__init__.py:218-230)."""
+    solver = SCS(data, cone, **settings)
+    x = data.get("x")
+    y = data.get("y")
+    s = data.get("s")
+    return solver.solve(warm_start=True, x=x, y=y, s=s)

@@ -1,0 +1,113 @@
+"""Data equilibration (Ruiz-style) — TPU-native counterpart of the
+reference's src/normalize.c + linsys/scs_matrix.c scaling.
+
+Transform (self-consistent; derivation in solver.py docstring):
+    A_hat = D A E            (D per-cone-block-uniform row scaling)
+    P_hat = (sc_c / sc_b) * E P E
+    b_hat = sc_b * D b
+    c_hat = sc_c * E c
+with sc_b = 1/max(||D b||, MIN_SCALE), sc_c = 1/max(||E c||, MIN_SCALE).
+
+Un-normalization of a solution of the scaled problem (tau-normalized):
+    x = E x_hat / sc_b
+    y = D y_hat / sc_c
+    s = D^-1 s_hat / sc_b
+
+Rows of the zero ('z') and nonnegative ('l') cones scale per-row; box-cone
+rows scale per-row with the bounds bu/bl adjusted accordingly; all other
+cones scale uniformly per cone block (a nonuniform diagonal scaling would
+change the cone).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .cones import ConeSpec
+
+MIN_SCALE = 1e-8
+NUM_RUIZ_PASSES = 10
+
+
+def row_block_ids(spec: ConeSpec):
+    """Map each row to a scaling block; -1 means per-row (free) scaling."""
+    ids = np.full(spec.dim, -1, dtype=np.int64)
+    next_id = 0
+    for sg in spec.segments():
+        if sg.kind in ("z", "l", "box"):
+            continue  # per-row scaling allowed (box bounds get adjusted)
+        ids[sg.offset : sg.offset + sg.length] = next_id
+        next_id += 1
+    return ids, next_id
+
+
+@dataclasses.dataclass
+class Scaling:
+    D: np.ndarray  # (m,)
+    E: np.ndarray  # (n,)
+    sc_b: float
+    sc_c: float
+
+
+def ruiz_equilibrate(A, P, b, c, spec: ConeSpec, passes=NUM_RUIZ_PASSES):
+    """Equilibrate dense A (m,n), optional dense P (n,n), b (m,), c (n,).
+
+    Returns (A_hat, P_hat, b_hat, c_hat, Scaling, spec_hat) where spec_hat
+    carries the adjusted box bounds for the normalized problem.
+    """
+    A = np.asarray(A, np.float64)
+    m, n = A.shape
+    D = np.ones(m)
+    E = np.ones(n)
+    ids, nblocks = row_block_ids(spec)
+    has_blocks = nblocks > 0
+
+    Ah = A.copy()
+    Ph = None if P is None else np.asarray(P, np.float64).copy()
+
+    for _ in range(passes):
+        r = np.max(np.abs(Ah), axis=1)
+        if has_blocks:
+            # uniformize within cone blocks (max over the block)
+            blk_max = np.zeros(nblocks)
+            np.maximum.at(blk_max, ids[ids >= 0], r[ids >= 0])
+            r = np.where(ids >= 0, blk_max[np.clip(ids, 0, None)], r)
+        r = np.sqrt(np.maximum(r, MIN_SCALE))
+        cn = np.max(np.abs(Ah), axis=0)
+        if Ph is not None:
+            cn = np.maximum(cn, np.max(np.abs(Ph), axis=0))
+        cn = np.sqrt(np.maximum(cn, MIN_SCALE))
+        Ah /= r[:, None]
+        Ah /= cn[None, :]
+        if Ph is not None:
+            Ph /= cn[:, None]
+            Ph /= cn[None, :]
+        D /= r
+        E /= cn
+
+    bh = D * np.asarray(b, np.float64)
+    ch = E * np.asarray(c, np.float64)
+    sc_b = 1.0 / max(float(np.linalg.norm(bh)), MIN_SCALE)
+    sc_c = 1.0 / max(float(np.linalg.norm(ch)), MIN_SCALE)
+    bh *= sc_b
+    ch *= sc_c
+    if Ph is not None:
+        Ph *= sc_c / sc_b
+
+    # adjust box bounds: s'_i = d_i s_i, t' = d_t t  =>  bu' = bu * d_i / d_t
+    spec_hat = spec
+    if spec.bsize > 0:
+        off = spec.z + spec.l
+        d_t = D[off]
+        d_s = D[off + 1 : off + spec.bsize]
+        bu_hat = spec.bu * d_s / d_t
+        bl_hat = spec.bl * d_s / d_t
+        spec_hat = dataclasses.replace(spec, bu=bu_hat, bl=bl_hat)
+
+    return Ah, Ph, bh, ch, Scaling(D=D, E=E, sc_b=sc_b, sc_c=sc_c), spec_hat
+
+
+def identity_scaling(m, n):
+    return Scaling(D=np.ones(m), E=np.ones(n), sc_b=1.0, sc_c=1.0)

@@ -1,0 +1,156 @@
+"""Solver settings: names, defaults, and validation.
+
+Mirrors the reference solver's 17 runtime settings (parsed by keyword in the
+reference C extension, /root/reference/scs/scsobject.h:467-495) plus the
+NaN/Inf validation policy documented at scsobject.h:802-868:
+
+  * max_iters > 0
+  * acceleration_lookback >= 0 (0 disables AA)
+  * acceleration_interval > 0
+  * acceleration_regularization finite, >= 0
+  * acceleration_relaxation finite, in [0, 2]
+  * scale finite, > 0
+  * time_limit_secs >= 0 (0 disables; +inf allowed)
+  * eps_abs / eps_rel / eps_infeas >= 0 (+inf allowed, NaN rejected)
+  * alpha finite, in (0, 2)
+  * rho_x finite, > 0
+
+TPU-native extras (no reference analogue) are grouped at the bottom of the
+dataclass: dtype control, linear-solver strategy, CG knobs, and the
+device-loop chunking interval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Union
+
+# Default operating point of the reference solver (BASELINE.md "Reference
+# default operating point"; reference README.md:98-104).
+DEFAULTS = dict(
+    verbose=True,
+    normalize=True,
+    adaptive_scale=True,
+    max_iters=100_000,
+    scale=0.1,
+    eps_abs=1e-4,
+    eps_rel=1e-4,
+    eps_infeas=1e-7,
+    alpha=1.5,
+    rho_x=1e-6,
+    time_limit_secs=0.0,
+    acceleration_lookback=10,
+    acceleration_interval=10,
+    acceleration_type_1=1,
+    acceleration_regularization=1e-8,
+    acceleration_relaxation=1.0,
+    write_data_filename=None,
+    log_csv_filename=None,
+)
+
+
+def _err(msg):
+    raise ValueError(msg)
+
+
+@dataclasses.dataclass
+class Settings:
+    """Validated solver settings (reference parity + TPU extras)."""
+
+    verbose: bool = True
+    normalize: bool = True
+    adaptive_scale: bool = True
+    max_iters: int = 100_000
+    scale: float = 0.1
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+    eps_infeas: float = 1e-7
+    alpha: float = 1.5
+    rho_x: float = 1e-6
+    time_limit_secs: float = 0.0
+    acceleration_lookback: int = 10
+    acceleration_interval: int = 10
+    acceleration_type_1: int = 1
+    acceleration_regularization: float = 1e-8
+    acceleration_relaxation: float = 1.0
+    write_data_filename: Optional[str] = None
+    log_csv_filename: Optional[str] = None
+
+    # --- TPU-native extras (no reference analogue) ---
+    # Numeric dtype of the on-device solve: "float64" | "float32".
+    dtype: str = "float64"
+    # Linear-system strategy (maps the reference's LinearSolver backends onto
+    # the two TPU-native paths): "auto" | "direct" (batched dense
+    # Cholesky) | "indirect" (matrix-free CG).
+    solver_strategy: str = "auto"
+    # CG controls for the indirect path (reference: linsys/cpu/indirect,
+    # tolerance tightened per-iteration at rate cg_rate).
+    cg_rate: float = 2.0
+    cg_max_iters: int = 1000
+    cg_tol_min: float = 1e-12
+    # How many ADMM iterations each on-device chunk runs between host-side
+    # checks (verbose print, time limit, SIGINT). Residual/termination checks
+    # happen on device at this granularity too.
+    check_interval: int = 25
+    # Adaptive-scale update guards (reference core: scale updated when the
+    # primal/dual residual ratio drifts; 'factorizations: 8' in logs).
+    rescale_min_iters: int = 100
+    rescale_factor_band: float = 2.0
+    min_scale: float = 1e-6
+    max_scale: float = 1e6
+
+    def __post_init__(self):
+        f = float
+        if int(self.max_iters) <= 0:
+            _err("max_iters must be positive")
+        if int(self.acceleration_lookback) < 0:
+            _err(
+                "acceleration_lookback must be nonnegative "
+                "(use acceleration_type_1=0 for type-II AA)"
+            )
+        if int(self.acceleration_interval) <= 0:
+            _err("acceleration_interval must be positive")
+        r = f(self.acceleration_regularization)
+        if not math.isfinite(r) or r < 0:
+            _err("acceleration_regularization must be a nonnegative finite number")
+        r = f(self.acceleration_relaxation)
+        if not math.isfinite(r) or r < 0 or r > 2:
+            _err("acceleration_relaxation must be in [0, 2]")
+        if not math.isfinite(f(self.scale)) or f(self.scale) <= 0:
+            _err("scale must be a positive finite number")
+        t = f(self.time_limit_secs)
+        if math.isnan(t) or t < 0:
+            _err("time_limit_secs must be nonnegative")
+        for name in ("eps_abs", "eps_rel", "eps_infeas"):
+            v = f(getattr(self, name))
+            if math.isnan(v) or v < 0:
+                _err(f"{name} must be nonnegative")
+        a = f(self.alpha)
+        if not math.isfinite(a) or a <= 0 or a >= 2:
+            _err("alpha must be in (0, 2)")
+        rx = f(self.rho_x)
+        if not math.isfinite(rx) or rx <= 0:
+            _err("rho_x must be a positive finite number")
+        if self.dtype not in ("float64", "float32"):
+            _err("dtype must be 'float64' or 'float32'")
+        if self.solver_strategy not in ("auto", "direct", "indirect"):
+            _err("solver_strategy must be 'auto', 'direct' or 'indirect'")
+
+    @classmethod
+    def from_kwargs(cls, **kwargs) -> "Settings":
+        """Build Settings, rejecting unknown keys with TypeError.
+
+        The reference raises TypeError from PyArg_ParseTupleAndKeywords for
+        unknown keywords (tested at test_scs_object.py:113-133); mirror that.
+        """
+        valid = {fld.name for fld in dataclasses.fields(cls)}
+        for k in kwargs:
+            if k not in valid:
+                raise TypeError(f"'{k}' is an invalid keyword argument for SCS()")
+        # bool-typed settings must be genuine bools in the reference
+        # (parsed with O! PyBool_Type); accept ints 0/1 too for convenience.
+        return cls(**kwargs)
+
+
+StrOrNone = Union[str, None]

@@ -1,0 +1,696 @@
+"""TPU-native ADMM / Douglas-Rachford driver on the homogeneous self-dual
+embedding — the counterpart of the reference core's scs.c hot loop
+(call stack documented in SURVEY.md §3.2), re-designed for XLA:
+
+  * the whole solve is a `lax.while_loop` over jit-compiled chunks —
+    linear projection, cone projection, Anderson acceleration, residuals,
+    adaptive-scale REFACTORIZATION all stay on device;
+  * the linear projection uses a cached dense Cholesky factor of
+    S = rho_x*I + P + A' diag(d_y) A (direct strategy) or matrix-free
+    Jacobi-preconditioned CG (indirect strategy);
+  * tau is recovered from the homogeneous embedding by the quadratic-root
+    update (validated against the reference notebook prototype,
+    notebooks/scs_qp.ipynb cell 4, at rho_x=1, R_y=I).
+
+Math (normalized problem, metric R = diag(rho_x*I_n, R_y, 1)):
+
+  find u = (x, y, tau) in C = R^n x K* x R_+ with Q(u) in C*, <u,Q(u)>=0,
+  Q(u) = [ P x + A'y + c tau ; -A x + b tau ; -c'x - b'y - x'Px/tau ].
+
+  DR iteration (state (u, v); alpha = over-relaxation):
+    w   = u + v
+    u_t = (R + Q)^-1 (R w)          # linear projection incl. tau quadratic
+    r   = alpha*u_t + (1-alpha)*u
+    u+  = Pi_C(r - v)               # y-block: dual-cone projection
+    v+  = v + u+ - r
+
+  Linear projection: with S = rho_x*I + P + A' D_y A  (D_y = R_y^-1),
+    p_x = S^-1 (rho_x*w_x - A' w_y),   p_y = w_y + D_y A p_x
+    g_x = S^-1 (c - A' D_y b),         g_y = D_y (b + A g_x)
+    tau from  a*t^2 + bq*t + cq = 0:
+      a  = 1 + rho_x*||g_x||^2 + g_y' R_y g_y
+      bq = -w_tau - (c'p_x + b'p_y) + 2*g_x' P p_x
+      cq = -p_x' P p_x   (<= 0, so the + root is the nonnegative one)
+
+Residual definitions and termination criteria follow the reference info
+fields (scs/scsobject.h:1073-1107) and are computed on UN-normalized
+quantities; certificates are normalized to b'y = -1 / c'x = -1 as in the
+reference tests (test_solve_random_cone_prob.py:69-91).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .cones import ConeSpec
+from .info import (
+    FAILED,
+    INDETERMINATE,
+    INFEASIBLE,
+    INFEASIBLE_INACCURATE,
+    SOLVED,
+    SOLVED_INACCURATE,
+    UNBOUNDED,
+    UNBOUNDED_INACCURATE,
+    UNFINISHED,
+)
+from .ops.projections import get_projector, spec_signature
+from .settings import Settings
+
+ZERO_CONE_RY_FACTOR = 1e-3  # zero-cone rows get rho_y = factor / scale
+
+
+class Mats(NamedTuple):
+    """Dynamic problem data (normalized). Passing these as arguments (not
+    closures) lets compiled code be reused across b/c updates."""
+
+    A: jnp.ndarray  # (m, n)
+    P: jnp.ndarray  # (n, n); zeros-shaped (0,0) when absent
+    bn: jnp.ndarray  # (m,)
+    cn: jnp.ndarray  # (n,)
+    bl: jnp.ndarray  # normalized box lower bounds (possibly size 0)
+    bu: jnp.ndarray  # normalized box upper bounds
+    # un-normalization data
+    D: jnp.ndarray  # (m,)
+    E: jnp.ndarray  # (n,)
+    sc_b: jnp.ndarray  # scalar
+    sc_c: jnp.ndarray  # scalar
+    norm_b: jnp.ndarray  # ||b|| original
+    norm_c: jnp.ndarray  # ||c|| original
+
+
+class AAState(NamedTuple):
+    dX: jnp.ndarray  # (L, 2N) ring buffer of iterate deltas
+    dF: jnp.ndarray  # (L, 2N) ring buffer of residual deltas
+    zeta_prev: jnp.ndarray  # (2N,)
+    f_prev: jnp.ndarray  # (2N,)
+    count: jnp.ndarray  # i32: total deltas pushed
+    n_accept: jnp.ndarray
+    n_reject_nonfinite: jnp.ndarray
+    n_reject_weight_cap: jnp.ndarray
+    n_safeguard_reject: jnp.ndarray
+    last_aa_norm: jnp.ndarray
+    last_reg: jnp.ndarray
+    aa_iter: jnp.ndarray
+
+
+class Diag(NamedTuple):
+    res_pri: jnp.ndarray
+    res_dual: jnp.ndarray
+    gap: jnp.ndarray
+    pobj: jnp.ndarray
+    dobj: jnp.ndarray
+    res_infeas: jnp.ndarray
+    res_unbdd_a: jnp.ndarray
+    res_unbdd_p: jnp.ndarray
+    comp_slack: jnp.ndarray
+
+
+class State(NamedTuple):
+    u: jnp.ndarray  # (N,) = (n + m + 1,)
+    v: jnp.ndarray  # (N,)
+    scale: jnp.ndarray  # current DR scale (dynamic under adaptive_scale)
+    L: jnp.ndarray  # (n,n) cholesky factor (direct) or (0,0) (indirect)
+    gx: jnp.ndarray  # (n,)
+    gy: jnp.ndarray  # (m,)
+    px_warm: jnp.ndarray  # (n,) CG warm start (indirect)
+    it: jnp.ndarray  # i32 iteration counter
+    status: jnp.ndarray  # i32
+    scale_updates: jnp.ndarray  # i32
+    since_rescale: jnp.ndarray  # i32
+    cg_iters: jnp.ndarray  # i32 cumulative CG iterations (indirect)
+    diag: Diag
+    aa: AAState
+
+
+class Core:
+    """Compiled solver core for one (m, n, cone-structure, settings) shape.
+
+    Instances are cached (see `get_core`) so repeated problems of the same
+    shape share compiled executables.
+    """
+
+    def __init__(self, m, n, has_P, spec: ConeSpec, stg: Settings):
+        self.m, self.n, self.has_P = m, n, has_P
+        self.N = n + m + 1
+        self.stg = stg
+        self.dtype = jnp.float64 if stg.dtype == "float64" else jnp.float32
+        self.spec = spec
+        self.zero_mask = jnp.asarray(spec.zero_row_mask())
+        self.indirect = stg.solver_strategy == "indirect"
+        # Primal cone projector (structure-cached); the y block uses the
+        # dual cone via Moreau. Box bounds enter dynamically (normalized).
+        self._proj = get_projector(spec, self.dtype)
+
+        self.lookback = int(stg.acceleration_lookback)
+        self.interval = int(stg.acceleration_interval)
+
+        self._jit_setup = jax.jit(self._setup)
+        self._jit_init = jax.jit(self._init_pure)
+        self._jit_chunk = jax.jit(self._chunk)
+        self._jit_run = jax.jit(self._run, static_argnums=(2,))
+        self._jit_finalize = jax.jit(self._finalize)
+
+    # -- cone handling ----------------------------------------------------
+
+    def _proj_with_bounds(self, zv, bl, bu):
+        return self._proj(zv, bl, bu)
+
+    # -- metric helpers ---------------------------------------------------
+
+    def _ry(self, scale):
+        base = 1.0 / scale
+        return jnp.where(self.zero_mask, ZERO_CONE_RY_FACTOR * base, base)
+
+    def _build_S(self, mats: Mats, dy):
+        A = mats.A
+        S = (mats.A.T * dy[None, :]) @ A
+        S = S + self.stg.rho_x * jnp.eye(self.n, dtype=self.dtype)
+        if self.has_P:
+            S = S + mats.P
+        return S
+
+    def _matvec_S(self, mats: Mats, dy, x):
+        out = self.stg.rho_x * x + mats.A.T @ (dy * (mats.A @ x))
+        if self.has_P:
+            out = out + mats.P @ x
+        return out
+
+    def _cg(self, mats, dy, rhs, x0, tol):
+        """Jacobi-preconditioned CG on S x = rhs (indirect strategy;
+        reference: linsys/cpu/indirect/private.c, tolerance schedule per
+        the 'cg_rate'/'avg cg its' log lines)."""
+        diagS = self.stg.rho_x + jnp.sum(mats.A * mats.A * dy[:, None], axis=0)
+        if self.has_P:
+            diagS = diagS + jnp.diagonal(mats.P)
+        Minv = 1.0 / diagS
+
+        def mv(x):
+            return self._matvec_S(mats, dy, x)
+
+        r = rhs - mv(x0)
+        z = Minv * r
+        p = z
+        rz = jnp.dot(r, z)
+
+        def cond(carry):
+            x, r, p, rz, k = carry
+            return (jnp.linalg.norm(r) > tol) & (k < self.stg.cg_max_iters)
+
+        def body(carry):
+            x, r, p, rz, k = carry
+            Ap = mv(p)
+            alpha = rz / jnp.dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = Minv * r
+            rz_new = jnp.dot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return x, r, p, rz_new, k + 1
+
+        x, r, p, rz, k = lax.while_loop(cond, body, (x0, r, p, rz, jnp.int32(0)))
+        return x, k
+
+    def _lin_solve(self, state: State, mats: Mats, rhs, tol):
+        """Solve S x = rhs with the active strategy. Returns (x, cg_iters)."""
+        if self.indirect:
+            dy = 1.0 / self._ry(state.scale)
+            return self._cg(mats, dy, rhs, state.px_warm, tol)
+        x = jax.scipy.linalg.cho_solve((state.L, True), rhs)
+        return x, jnp.int32(0)
+
+    # -- setup ------------------------------------------------------------
+
+    def _setup(self, mats: Mats, scale):
+        """Factorize and compute g for the given scale."""
+        ry = self._ry(scale)
+        dy = 1.0 / ry
+        if self.indirect:
+            L = jnp.zeros((0, 0), self.dtype)
+            rhs = mats.cn - mats.A.T @ (dy * mats.bn)
+            gx, _ = self._cg(
+                mats, dy, rhs, jnp.zeros(self.n, self.dtype), self.stg.cg_tol_min * 10
+            )
+        else:
+            S = self._build_S(mats, dy)
+            L = jnp.linalg.cholesky(S)
+            gx = jax.scipy.linalg.cho_solve(
+                (L, True), mats.cn - mats.A.T @ (dy * mats.bn)
+            )
+        gy = dy * (mats.bn + mats.A @ gx)
+        return L, gx, gy
+
+    def _init_pure(self, mats: Mats):
+        """Cold-start state; fully traceable (vmap/pjit-friendly)."""
+        scale = jnp.asarray(self.stg.scale, self.dtype)
+        L, gx, gy = self._setup(mats, scale)
+        N = self.N
+        u = jnp.zeros(N, self.dtype).at[-1].set(1.0)
+        v = jnp.zeros(N, self.dtype)
+        Lb = max(self.lookback, 1)
+        aa = AAState(
+            dX=jnp.zeros((Lb, 2 * N), self.dtype),
+            dF=jnp.zeros((Lb, 2 * N), self.dtype),
+            zeta_prev=jnp.concatenate([u, v]),
+            f_prev=jnp.zeros(2 * N, self.dtype),
+            count=jnp.int32(-1),
+            n_accept=jnp.int32(0),
+            n_reject_nonfinite=jnp.int32(0),
+            n_reject_weight_cap=jnp.int32(0),
+            n_safeguard_reject=jnp.int32(0),
+            last_aa_norm=jnp.asarray(jnp.nan, self.dtype),
+            last_reg=jnp.asarray(0.0, self.dtype),
+            aa_iter=jnp.int32(0),
+        )
+        nanv = jnp.asarray(jnp.nan, self.dtype)
+        diag = Diag(*([nanv] * 9))
+        return State(
+            u=u,
+            v=v,
+            scale=scale,
+            L=L,
+            gx=gx,
+            gy=gy,
+            px_warm=jnp.zeros(self.n, self.dtype),
+            it=jnp.int32(0),
+            status=jnp.int32(UNFINISHED),
+            scale_updates=jnp.int32(0),
+            since_rescale=jnp.int32(0),
+            cg_iters=jnp.int32(0),
+            diag=diag,
+            aa=aa,
+        )
+
+    def init_state(self, mats: Mats, warm_u=None, warm_v=None):
+        state = self._jit_init(mats)
+        if warm_u is not None:
+            u = jnp.asarray(warm_u, self.dtype)
+            v = jnp.asarray(warm_v, self.dtype)
+            state = state._replace(
+                u=u,
+                v=v,
+                aa=state.aa._replace(zeta_prev=jnp.concatenate([u, v])),
+            )
+        return state
+
+    # -- one DR iteration -------------------------------------------------
+
+    def _step(self, state: State, mats: Mats):
+        n, m = self.n, self.m
+        stg = self.stg
+        u, v = state.u, state.v
+        w = u + v
+        wx, wy, wtau = w[:n], w[n : n + m], w[-1]
+
+        ry = self._ry(state.scale)
+        dy = 1.0 / ry
+
+        tol = jnp.maximum(
+            stg.cg_tol_min,
+            jnp.linalg.norm(wx) * (state.it.astype(self.dtype) + 1.0) ** (-stg.cg_rate),
+        )
+        px, cg_k = self._lin_solve(state, mats, stg.rho_x * wx - mats.A.T @ wy, tol)
+        py = wy + dy * (mats.A @ px)
+
+        gx, gy = state.gx, state.gy
+        a = 1.0 + stg.rho_x * jnp.dot(gx, gx) + jnp.dot(gy * ry, gy)
+        hp = jnp.dot(mats.cn, px) + jnp.dot(mats.bn, py)
+        if self.has_P:
+            Ppx = mats.P @ px
+            bq = -wtau - hp + 2.0 * jnp.dot(gx, Ppx)
+            cq = -jnp.dot(px, Ppx)
+            disc = jnp.maximum(bq * bq - 4.0 * a * cq, 0.0)
+            tau = (-bq + jnp.sqrt(disc)) / (2.0 * a)
+        else:
+            bq = -wtau - hp
+            tau = -bq / a
+        tau = jnp.maximum(tau, 0.0)
+
+        ut = jnp.concatenate([px - tau * gx, py - tau * gy, tau[None]])
+        r = stg.alpha * ut + (1.0 - stg.alpha) * u
+        tmp = r - v
+        uy = tmp[n : n + m] + self._proj_with_bounds(
+            -tmp[n : n + m], mats.bl, mats.bu
+        )
+        u_new = jnp.concatenate([tmp[:n], uy, jnp.maximum(tmp[-1], 0.0)[None]])
+        v_new = v + u_new - r
+
+        return state._replace(
+            u=u_new,
+            v=v_new,
+            px_warm=px,
+            cg_iters=state.cg_iters + cg_k,
+        )
+
+    # -- Anderson acceleration (reference: src/aa.c; README AA table) ------
+
+    def _aa_push(self, aa: AAState, zeta, f):
+        slot = jnp.maximum(aa.count, 0) % max(self.lookback, 1)
+        dX = lax.cond(
+            aa.count >= 0,
+            lambda: aa.dX.at[slot].set(zeta - aa.zeta_prev),
+            lambda: aa.dX,
+        )
+        dF = lax.cond(
+            aa.count >= 0,
+            lambda: aa.dF.at[slot].set(f - aa.f_prev),
+            lambda: aa.dF,
+        )
+        return aa._replace(
+            dX=dX, dF=dF, zeta_prev=zeta, f_prev=f, count=aa.count + 1
+        )
+
+    def _aa_candidate(self, aa: AAState, zeta, f):
+        """Compute the AA candidate point from the ring buffers."""
+        stg = self.stg
+        dX, dF = aa.dX, aa.dF
+        if stg.acceleration_type_1:
+            G = dX @ dF.T  # (L, L) type-I mixed Gram
+            rhs = dX @ f
+        else:
+            G = dF @ dF.T  # type-II
+            rhs = dF @ f
+        reg = stg.acceleration_regularization * (1.0 + jnp.trace(jnp.abs(G)))
+        gamma = jnp.linalg.solve(
+            G + reg * jnp.eye(G.shape[0], dtype=self.dtype), rhs
+        )
+        beta = stg.acceleration_relaxation
+        cand = zeta - gamma @ dX + beta * (f - gamma @ dF)
+        return cand, gamma, reg
+
+    def _iter_body(self, state: State, mats: Mats):
+        """One iteration: plain step, AA bookkeeping, periodic AA trial."""
+        st1 = self._step(state, mats)
+        zeta = jnp.concatenate([state.u, state.v])
+        zeta1 = jnp.concatenate([st1.u, st1.v])
+        f = zeta1 - zeta  # fixed-point residual of the DR map at zeta
+
+        if self.lookback == 0:
+            return st1._replace(it=state.it + 1)
+
+        aa = self._aa_push(state.aa, zeta, f)
+        do_aa = ((state.it + 1) % self.interval == 0) & (aa.count >= 1)
+
+        def aa_branch(st1, aa):
+            cand, gamma, reg = self._aa_candidate(aa, zeta, f)
+            finite = jnp.all(jnp.isfinite(cand))
+            weight_ok = jnp.sum(jnp.abs(gamma)) < 1e6
+            # safeguard: evaluate the map at the candidate and compare
+            # fixed-point residuals
+            n, N = self.n, self.N
+            cand_state = st1._replace(u=cand[:N], v=cand[N:])
+            st2 = self._step(cand_state, mats)
+            zeta2 = jnp.concatenate([st2.u, st2.v])
+            f_cand = zeta2 - cand
+            aa_norm = jnp.linalg.norm(f_cand)
+            safe = aa_norm <= jnp.linalg.norm(f)
+            accept = finite & weight_ok & safe
+
+            new_state = lax.cond(accept, lambda: st2, lambda: st1)
+            aa = aa._replace(
+                n_accept=aa.n_accept + accept.astype(jnp.int32),
+                n_reject_nonfinite=aa.n_reject_nonfinite
+                + (~finite).astype(jnp.int32),
+                n_reject_weight_cap=aa.n_reject_weight_cap
+                + (finite & ~weight_ok).astype(jnp.int32),
+                n_safeguard_reject=aa.n_safeguard_reject
+                + (finite & weight_ok & ~safe).astype(jnp.int32),
+                last_aa_norm=aa_norm,
+                last_reg=reg,
+                aa_iter=aa.aa_iter + 1,
+                # acceptance moved the base point; reset the delta anchor
+                zeta_prev=lax.cond(
+                    accept, lambda: cand, lambda: aa.zeta_prev
+                ),
+                f_prev=lax.cond(accept, lambda: f_cand, lambda: aa.f_prev),
+            )
+            return new_state._replace(aa=aa)
+
+        def plain_branch(st1, aa):
+            return st1._replace(aa=aa)
+
+        out = lax.cond(do_aa, aa_branch, plain_branch, st1, aa)
+        return out._replace(it=state.it + 1)
+
+    # -- residuals / termination ------------------------------------------
+
+    def _residuals(self, state: State, mats: Mats):
+        n, m = self.n, self.m
+        u, v = state.u, state.v
+        xbar, ybar, tau = u[:n], u[n : n + m], u[-1]
+        ry = self._ry(state.scale)
+        st_hat = ry * v[n : n + m]  # = tau * normalized slack
+
+        Axb = mats.A @ xbar
+        Aty = mats.A.T @ ybar
+        Pxb = mats.P @ xbar if self.has_P else jnp.zeros_like(xbar)
+
+        Dinv = 1.0 / mats.D
+        Einv = 1.0 / mats.E
+        sc_b, sc_c = mats.sc_b, mats.sc_c
+
+        safe_tau = jnp.maximum(tau, 1e-300)
+
+        # --- primal/dual residuals (un-normalized, divided by tau)
+        rp_vec = Dinv * (Axb + st_hat - mats.bn * tau) / (sc_b * safe_tau)
+        rd_vec = Einv * (Pxb + Aty + mats.cn * tau) / (sc_c * safe_tau)
+        res_pri = jnp.linalg.norm(rp_vec)
+        res_dual = jnp.linalg.norm(rd_vec)
+
+        nAx = jnp.linalg.norm(Dinv * Axb) / (sc_b * safe_tau)
+        ns = jnp.linalg.norm(Dinv * st_hat) / (sc_b * safe_tau)
+        nPx = jnp.linalg.norm(Einv * Pxb) / (sc_c * safe_tau)
+        nAty = jnp.linalg.norm(Einv * Aty) / (sc_c * safe_tau)
+
+        ctx = jnp.dot(mats.cn, xbar) / (sc_c * sc_b * safe_tau)
+        bty = jnp.dot(mats.bn, ybar) / (sc_b * sc_c * safe_tau)
+        xPx = jnp.dot(xbar, Pxb) / (sc_b * sc_c * safe_tau**2)
+        gap = jnp.abs(xPx + ctx + bty)
+        pobj = 0.5 * xPx + ctx
+        dobj = -0.5 * xPx - bty
+        comp_slack = jnp.abs(jnp.dot(st_hat, ybar)) / (sc_b * sc_c * safe_tau**2)
+
+        # --- certificates (tau-free, normalized to b'y=-1 / c'x=-1)
+        bty_raw = jnp.dot(mats.bn, ybar) / (sc_b * sc_c)
+        ctx_raw = jnp.dot(mats.cn, xbar) / (sc_c * sc_b)
+        nAty_raw = jnp.linalg.norm(Einv * Aty) / sc_c
+        res_infeas = jnp.where(
+            bty_raw < 0,
+            mats.norm_b * nAty_raw / jnp.maximum(-bty_raw, 1e-300),
+            jnp.inf,
+        )
+        nAxs_raw = jnp.linalg.norm(Dinv * (Axb + st_hat)) / sc_b
+        nPx_raw = jnp.linalg.norm(Einv * Pxb) / sc_c
+        res_unbdd_a = jnp.where(
+            ctx_raw < 0,
+            mats.norm_c * nAxs_raw / jnp.maximum(-ctx_raw, 1e-300),
+            jnp.inf,
+        )
+        res_unbdd_p = jnp.where(
+            ctx_raw < 0,
+            mats.norm_c * nPx_raw / jnp.maximum(-ctx_raw, 1e-300),
+            jnp.inf,
+        ) if self.has_P else jnp.where(ctx_raw < 0, 0.0, jnp.inf)
+
+        diag = Diag(
+            res_pri=res_pri,
+            res_dual=res_dual,
+            gap=gap,
+            pobj=pobj,
+            dobj=dobj,
+            res_infeas=res_infeas,
+            res_unbdd_a=res_unbdd_a,
+            res_unbdd_p=res_unbdd_p,
+            comp_slack=comp_slack,
+        )
+        denoms = (nAx, ns, nPx, nAty)
+        return diag, denoms, (ctx, bty, xPx)
+
+    def _status_from(self, diag: Diag, denoms, scalars, norm_b, norm_c, eps_mult=1.0):
+        stg = self.stg
+        nAx, ns, nPx, nAty = denoms
+        ctx, bty, xPx = scalars
+        eps_abs = stg.eps_abs * eps_mult
+        eps_rel = stg.eps_rel * eps_mult
+        eps_infeas = stg.eps_infeas * eps_mult
+
+        solved = (
+            (diag.res_pri <= eps_abs + eps_rel * jnp.maximum(jnp.maximum(nAx, ns), norm_b))
+            & (diag.res_dual <= eps_abs + eps_rel * jnp.maximum(jnp.maximum(nPx, nAty), norm_c))
+            & (
+                diag.gap
+                <= eps_abs
+                + eps_rel * jnp.maximum(jnp.maximum(jnp.abs(xPx), jnp.abs(ctx)), jnp.abs(bty))
+            )
+        )
+        infeas = diag.res_infeas < eps_infeas
+        unbdd = jnp.maximum(diag.res_unbdd_a, diag.res_unbdd_p) < eps_infeas
+
+        status = jnp.where(
+            solved,
+            SOLVED,
+            jnp.where(infeas, INFEASIBLE, jnp.where(unbdd, UNBOUNDED, UNFINISHED)),
+        )
+        return status.astype(jnp.int32)
+
+    def _check(self, state: State, mats: Mats):
+        """Residuals + termination + adaptive scale (with refactorization)."""
+        diag, denoms, scalars = self._residuals(state, mats)
+        status = self._status_from(
+            diag, denoms, scalars, mats.norm_b, mats.norm_c
+        )
+        bad = ~jnp.all(jnp.isfinite(state.u))
+        status = jnp.where(bad, FAILED, status)
+        state = state._replace(diag=diag, status=status)
+
+        stg = self.stg
+        if not stg.adaptive_scale:
+            return state._replace(since_rescale=state.since_rescale + 1)
+
+        # relative residuals drive the scale update (reference: adaptive
+        # scale updates + re-factorization, 'factorizations: 8' in logs)
+        nAx, ns, nPx, nAty = denoms
+        denom_p = stg.eps_abs + stg.eps_rel * jnp.maximum(
+            jnp.maximum(nAx, ns), mats.norm_b
+        )
+        denom_d = stg.eps_abs + stg.eps_rel * jnp.maximum(
+            jnp.maximum(nPx, nAty), mats.norm_c
+        )
+        rp_rel = diag.res_pri / jnp.maximum(denom_p, 1e-300)
+        rd_rel = diag.res_dual / jnp.maximum(denom_d, 1e-300)
+        ratio = jnp.sqrt(
+            jnp.maximum(rp_rel, 1e-300) / jnp.maximum(rd_rel, 1e-300)
+        )
+        trigger = (
+            (state.since_rescale + 1) * self.stg.check_interval
+            >= stg.rescale_min_iters
+        ) & (
+            (ratio > stg.rescale_factor_band)
+            | (ratio < 1.0 / stg.rescale_factor_band)
+        ) & (status == UNFINISHED) & jnp.isfinite(ratio)
+
+        def rescale(state):
+            new_scale = jnp.clip(
+                state.scale * ratio, stg.min_scale, stg.max_scale
+            )
+            L, gx, gy = self._setup(mats, new_scale)
+            n, m = self.n, self.m
+            # keep the slack s_hat = ry*v_y invariant across the metric change
+            v = state.v.at[n : n + m].multiply(new_scale / state.scale)
+            aa = state.aa._replace(
+                count=jnp.int32(-1),
+                zeta_prev=jnp.concatenate([state.u, v]),
+            )
+            return state._replace(
+                scale=new_scale,
+                L=L,
+                gx=gx,
+                gy=gy,
+                v=v,
+                scale_updates=state.scale_updates + 1,
+                since_rescale=jnp.int32(0),
+                aa=aa,
+            )
+
+        state = lax.cond(
+            trigger,
+            rescale,
+            lambda s: s._replace(since_rescale=s.since_rescale + 1),
+            state,
+        )
+        return state
+
+    # -- chunked execution -------------------------------------------------
+
+    def _chunk(self, state: State, mats: Mats):
+        k = self.stg.check_interval
+
+        def body(_, s):
+            return self._iter_body(s, mats)
+
+        state = lax.fori_loop(0, k, body, state)
+        return self._check(state, mats)
+
+    def _run(self, state: State, mats: Mats, max_iters: int):
+        def cond(s):
+            return (s.status == UNFINISHED) & (s.it < max_iters)
+
+        def body(s):
+            return self._chunk(s, mats)
+
+        return lax.while_loop(cond, body, state)
+
+    # -- finalization ------------------------------------------------------
+
+    def _finalize(self, state: State, mats: Mats):
+        """Extract (x, y, s) in original units + relaxed-tolerance status.
+
+        Returns arrays for all three candidate interpretations; host picks
+        based on status.
+        """
+        n, m = self.n, self.m
+        u, v = state.u, state.v
+        xbar, ybar, tau = u[:n], u[n : n + m], u[-1]
+        ry = self._ry(state.scale)
+        st_hat = ry * v[n : n + m]
+        Dinv = 1.0 / mats.D
+        safe_tau = jnp.maximum(tau, 1e-300)
+
+        x = mats.E * xbar / (mats.sc_b * safe_tau)
+        y = mats.D * ybar / (mats.sc_c * safe_tau)
+        s = Dinv * st_hat / (mats.sc_b * safe_tau)
+
+        # certificates normalized to b'y = -1 / c'x = -1
+        bty_raw = jnp.dot(mats.bn, ybar) / (mats.sc_b * mats.sc_c)
+        ctx_raw = jnp.dot(mats.cn, xbar) / (mats.sc_c * mats.sc_b)
+        y_cert = (mats.D * ybar / mats.sc_c) / jnp.maximum(-bty_raw, 1e-300)
+        x_cert = (mats.E * xbar / mats.sc_b) / jnp.maximum(-ctx_raw, 1e-300)
+        s_cert = (Dinv * st_hat / mats.sc_b) / jnp.maximum(-ctx_raw, 1e-300)
+
+        # relaxed-status evaluation for *_inaccurate classification
+        diag, denoms, scalars = self._residuals(state, mats)
+        relaxed = self._status_from(
+            diag, denoms, scalars, mats.norm_b, mats.norm_c, eps_mult=1e3
+        )
+        return x, y, s, x_cert, y_cert, s_cert, relaxed, diag
+
+
+_CORE_CACHE = {}
+
+
+def get_core(m, n, has_P, spec: ConeSpec, stg: Settings) -> Core:
+    key = (
+        m,
+        n,
+        has_P,
+        spec_signature(spec),
+        stg.dtype,
+        stg.solver_strategy,
+        stg.alpha,
+        stg.rho_x,
+        stg.scale,
+        stg.eps_abs,
+        stg.eps_rel,
+        stg.eps_infeas,
+        stg.adaptive_scale,
+        stg.acceleration_lookback,
+        stg.acceleration_interval,
+        stg.acceleration_type_1,
+        stg.acceleration_regularization,
+        stg.acceleration_relaxation,
+        stg.check_interval,
+        stg.rescale_min_iters,
+        stg.cg_rate,
+        stg.cg_max_iters,
+    )
+    if key not in _CORE_CACHE:
+        _CORE_CACHE[key] = Core(m, n, has_P, spec, stg)
+    return _CORE_CACHE[key]

@@ -1,0 +1,416 @@
+"""Independent NumPy oracle for cone geometry and random problem generation.
+
+This plays the role of the reference's test oracle
+(/root/reference/test/gen_random_cone_prob.py): deterministic generators for
+feasible / infeasible / unbounded cone problems with a-priori known status
+or optimum, plus membership tests for every cone. It is written
+independently of the solver's JAX kernels so that agreement between the two
+is meaningful evidence of correctness.
+
+Cone row layout (must match scs_tpu.cones.ConeSpec.segments()):
+  z, l, box(bu/bl), q, s, cs, ep, ed, p  [+ spectral d, nuc, ell1, sl]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse
+
+
+def sd_size(n):
+    return n * (n + 1) // 2
+
+
+def cone_dims(K):
+    m = K.get("z", 0) + K.get("l", 0)
+    bu = K.get("bu", [])
+    if len(bu) > 0:
+        m += len(bu) + 1
+    m += sum(K.get("q", []))
+    m += sum(sd_size(n) for n in K.get("s", []))
+    m += sum(n * n for n in K.get("cs", []))
+    m += 3 * K.get("ep", 0)
+    m += 3 * K.get("ed", 0)
+    m += 3 * len(K.get("p", []))
+    m += sum(sd_size(n) + 2 for n in K.get("d", []))
+    m += sum(
+        mm * nn + 1 for mm, nn in zip(K.get("nuc_m", []), K.get("nuc_n", []))
+    )
+    m += sum(n + 1 for n in K.get("ell1", []))
+    m += sum(sd_size(n) + 1 for n in K.get("sl_n", []))
+    return int(m)
+
+
+# ---------------------------------------------------------------------------
+# Projections (pure NumPy, written for clarity over speed)
+# ---------------------------------------------------------------------------
+
+
+def proj_nonneg(x):
+    return np.maximum(x, 0.0)
+
+
+def proj_soc(v):
+    if v.size == 0:
+        return v.copy()
+    if v.size == 1:
+        return proj_nonneg(v)
+    t, x = v[0], v[1:]
+    nx = np.linalg.norm(x)
+    if nx <= t:
+        return v.copy()
+    if nx <= -t:
+        return np.zeros_like(v)
+    coef = 0.5 * (1.0 + t / nx)
+    out = np.empty_like(v)
+    out[0] = coef * nx
+    out[1:] = coef * x
+    return out
+
+
+def _unpack_sym(z, n):
+    """Packed (lower-tri by columns, sqrt2-scaled off-diag) -> symmetric."""
+    M = np.zeros((n, n))
+    pos = 0
+    for j in range(n):
+        for i in range(j, n):
+            if i == j:
+                M[i, j] = z[pos]
+            else:
+                M[i, j] = M[j, i] = z[pos] / np.sqrt(2.0)
+            pos += 1
+    return M
+
+
+def _pack_sym(M):
+    n = M.shape[0]
+    z = np.zeros(sd_size(n))
+    pos = 0
+    for j in range(n):
+        for i in range(j, n):
+            z[pos] = M[i, j] if i == j else M[i, j] * np.sqrt(2.0)
+            pos += 1
+    return z
+
+
+def proj_sdp(z, n):
+    if n == 0:
+        return z.copy()
+    if n == 1:
+        return proj_nonneg(z)
+    M = _unpack_sym(z, n)
+    w, V = np.linalg.eigh(M)
+    Mp = (V * np.maximum(w, 0.0)) @ V.T
+    return _pack_sym(Mp)
+
+
+def _unpack_herm(z, n):
+    H = np.zeros((n, n), complex)
+    pos = 0
+    for j in range(n):
+        H[j, j] = z[pos]
+        pos += 1
+        for i in range(j + 1, n):
+            H[i, j] = (z[pos] + 1j * z[pos + 1]) / np.sqrt(2.0)
+            H[j, i] = np.conj(H[i, j])
+            pos += 2
+    return H
+
+
+def _pack_herm(H):
+    n = H.shape[0]
+    z = np.zeros(n * n)
+    pos = 0
+    for j in range(n):
+        z[pos] = H[j, j].real
+        pos += 1
+        for i in range(j + 1, n):
+            z[pos] = H[i, j].real * np.sqrt(2.0)
+            z[pos + 1] = H[i, j].imag * np.sqrt(2.0)
+            pos += 2
+    return z
+
+
+def proj_csd(z, n):
+    if n == 0:
+        return z.copy()
+    if n == 1:
+        return proj_nonneg(z)
+    H = _unpack_herm(z, n)
+    w, V = np.linalg.eigh(H)
+    Hp = (V * np.maximum(w, 0.0)) @ V.conj().T
+    return _pack_herm(Hp)
+
+
+def in_exp(v, tol=0.0):
+    r, s, t = v
+    if s > 0:
+        return t >= s * np.exp(r / s) - tol
+    return s >= -tol and r <= tol and t >= -tol
+
+
+def in_exp_dual(v, tol=0.0):
+    # K_exp^* = cl{(u,v,w): u < 0, -u*exp(v/u) <= e*w}
+    u, vv, w = v
+    if u < 0:
+        return -u * np.exp(vv / u) <= np.e * w + tol
+    return abs(u) <= tol and vv >= -tol and w >= -tol
+
+
+def proj_exp(v0):
+    """Projection onto Kexp via bisection on the dual multiplier.
+
+    Independent formulation: at the projection p of v0, either p = v0
+    (inside), p = 0 (v0 in polar), the analytic edge case, or p lies on the
+    boundary with normal structure; we root-find on rho = dual 'r' gap,
+    solving the inner scalar equation by Newton with bisection fallback.
+    """
+    v0 = np.asarray(v0, float)
+    if in_exp(v0, 1e-15):
+        return v0.copy()
+    if in_exp_dual(-v0, 1e-15):
+        return np.zeros(3)
+    r0, s0, t0 = v0
+    if r0 < 0 and s0 < 0:
+        return np.array([r0, 0.0, max(t0, 0.0)])
+
+    # At the solution: p = (r, s, t) with t = s*exp(r/s), s > 0, and
+    # v0 - p is normal to the boundary. Use the classic parameterization
+    # rho = (r0 - r): then p can be recovered from a 1-D root find.
+    def inner_z(rho, w):
+        # solve for zbar: f(zbar) = rho^-2 * zb*(zb+t0) - s0/rho + log(zb/rho) + 1 = 0
+        zb = max(max(w - t0, -t0), 1e-9)
+        for _ in range(200):
+            f = (zb * (zb + t0)) / rho**2 - s0 / rho + np.log(zb / rho) + 1.0
+            fp = (2.0 * zb + t0) / rho**2 + 1.0 / zb
+            step = f / fp
+            zb_new = zb - step
+            if zb_new <= 0:
+                zb = zb * 0.5
+            else:
+                zb = zb_new
+            if abs(step) < 1e-14 * max(1.0, zb):
+                break
+        return zb + t0
+
+    def g_of_rho(rho, w):
+        t = inner_z(rho, w)
+        s = (t - t0) * t / rho
+        r = r0 - rho
+        if s <= 0:
+            return r, np.array([r, s, t])
+        return r + s * np.log(s / t), np.array([r, s, t])
+
+    lb, rho, w = 0.0, 0.125, s0
+    g, p = g_of_rho(rho, w)
+    it = 0
+    while g > 0 and it < 200:
+        lb = rho
+        rho *= 2.0
+        g, p = g_of_rho(rho, p[1])
+        it += 1
+    ub = rho
+    for _ in range(300):
+        rho = 0.5 * (lb + ub)
+        g, p = g_of_rho(rho, p[1])
+        if g > 0:
+            lb = rho
+        else:
+            ub = rho
+        if ub - lb < 1e-14:
+            break
+    return p
+
+
+def in_pow(v, a, tol=1e-12):
+    x, y, z = v
+    return x >= -tol and y >= -tol and (
+        max(x, 0.0) ** a * max(y, 0.0) ** (1 - a) >= abs(z) - tol
+    )
+
+
+def in_pow_dual(v, a, tol=1e-12):
+    u, w, z = v
+    return u >= -tol and w >= -tol and (
+        (max(u, 0.0) / a) ** a * (max(w, 0.0) / (1 - a)) ** (1 - a)
+        >= abs(z) - tol
+    )
+
+
+def proj_pow(v0, a):
+    v0 = np.asarray(v0, float)
+    if in_pow(v0, a, 0.0):
+        return v0.copy()
+    if in_pow_dual(-v0, a, 0.0):
+        return np.zeros(3)
+    xh, yh, zh = v0
+    rh = abs(zh)
+    r = rh / 2.0
+
+    def cx(r, xh, aa):
+        return max(0.5 * (xh + np.sqrt(xh * xh + 4.0 * aa * (rh - r) * r)), 1e-12)
+
+    for _ in range(100):
+        x = cx(r, xh, a)
+        y = cx(r, yh, 1 - a)
+        f = x**a * y ** (1 - a) - r
+        if abs(f) < 1e-14:
+            break
+        dx = a * (rh - 2 * r) / (2 * x - xh)
+        dy = (1 - a) * (rh - 2 * r) / (2 * y - yh)
+        fp = x**a * y ** (1 - a) * (a * dx / x + (1 - a) * dy / y) - 1.0
+        r = min(max(r - f / fp, 0.0), rh)
+    z = np.sign(zh) * r
+    return np.array([cx(r, xh, a), cx(r, yh, 1 - a), z])
+
+
+def proj_box(v, bl, bu):
+    """Project (t, s) onto {(t,s): t>=0, bl*t <= s <= bu*t} by scalar opt."""
+    t0, s0 = v[0], v[1:]
+    bl = np.asarray(bl, float)
+    bu = np.asarray(bu, float)
+
+    def obj(t):
+        s = np.clip(s0, bl * t, bu * t)
+        return (t - t0) ** 2 + np.sum((s - s0) ** 2)
+
+    # golden-section over a generous bracket (obj is convex in t)
+    lo, hi = 0.0, abs(t0) + np.linalg.norm(s0) + 1.0
+    for _ in range(200):
+        m1 = lo + 0.382 * (hi - lo)
+        m2 = lo + 0.618 * (hi - lo)
+        if obj(m1) < obj(m2):
+            hi = m2
+        else:
+            lo = m1
+    t = 0.5 * (lo + hi)
+    s = np.clip(s0, bl * t, bu * t)
+    return np.concatenate([[t], s])
+
+
+def proj_ell1(v):
+    t0, x0 = v[0], v[1:]
+    if np.sum(np.abs(x0)) <= t0:
+        return v.copy()
+    if t0 <= -np.max(np.abs(x0), initial=0.0):
+        return np.zeros_like(v)
+    # bisection on lam
+    lo, hi = 0.0, np.max(np.abs(x0), initial=0.0)
+    for _ in range(200):
+        lam = 0.5 * (lo + hi)
+        g = np.sum(np.maximum(np.abs(x0) - lam, 0.0)) - t0 - lam
+        if g > 0:
+            lo = lam
+        else:
+            hi = lam
+    lam = 0.5 * (lo + hi)
+    x = np.sign(x0) * np.maximum(np.abs(x0) - lam, 0.0)
+    return np.concatenate([[t0 + lam], x])
+
+
+def proj_cone(z, K):
+    """Project the full slack vector onto the primal cone K."""
+    z = np.asarray(z, float).copy()
+    idx = 0
+    zc = K.get("z", 0)
+    z[idx : idx + zc] = 0.0
+    idx += zc
+    lc = K.get("l", 0)
+    z[idx : idx + lc] = proj_nonneg(z[idx : idx + lc])
+    idx += lc
+    bu = np.asarray(K.get("bu", []), float)
+    bl = np.asarray(K.get("bl", []), float)
+    if bu.size > 0:
+        bs = bu.size + 1
+        z[idx : idx + bs] = proj_box(z[idx : idx + bs], bl, bu)
+        idx += bs
+    for qi in K.get("q", []):
+        z[idx : idx + qi] = proj_soc(z[idx : idx + qi])
+        idx += qi
+    for ni in K.get("s", []):
+        sz = sd_size(ni)
+        z[idx : idx + sz] = proj_sdp(z[idx : idx + sz], ni)
+        idx += sz
+    for ni in K.get("cs", []):
+        sz = ni * ni
+        z[idx : idx + sz] = proj_csd(z[idx : idx + sz], ni)
+        idx += sz
+    for _ in range(K.get("ep", 0)):
+        z[idx : idx + 3] = proj_exp(z[idx : idx + 3])
+        idx += 3
+    for _ in range(K.get("ed", 0)):
+        z[idx : idx + 3] = z[idx : idx + 3] + proj_exp(-z[idx : idx + 3])
+        idx += 3
+    for pi in K.get("p", []):
+        if pi >= 0:
+            z[idx : idx + 3] = proj_pow(z[idx : idx + 3], pi)
+        else:
+            z[idx : idx + 3] = z[idx : idx + 3] + proj_pow(-z[idx : idx + 3], -pi)
+        idx += 3
+    for ni in K.get("ell1", []):
+        z[idx : idx + ni + 1] = proj_ell1(z[idx : idx + ni + 1])
+        idx += ni + 1
+    # d / nuc / sl oracles handled in dedicated spectral tests
+    return z
+
+
+def proj_dual_cone(z, K):
+    return np.asarray(z, float) + proj_cone(-np.asarray(z, float), K)
+
+
+# ---------------------------------------------------------------------------
+# Random problem generators with known status/optimum (reference strategy:
+# gen_feasible/gen_infeasible/gen_unbounded in the reference oracle)
+# ---------------------------------------------------------------------------
+
+
+def gen_feasible(K, n, density=0.1, rng=None, with_P=False, p_scale=0.1):
+    rng = rng or np.random.RandomState(0)
+    m = cone_dims(K)
+    z = rng.randn(m)
+    y = proj_dual_cone(z, K)
+    s = y - z  # = proj_cone(z, K); (s, y) complementary by Moreau
+
+    A = sparse.random(m, n, density, format="csc", random_state=rng)
+    A.data = rng.randn(A.nnz)
+    x = rng.randn(n)
+    P = None
+    if with_P:
+        G = rng.randn(n, max(1, n // 2))
+        P = sparse.csc_matrix(p_scale * (G @ G.T))
+        c = -A.T.dot(y) - P.dot(x)
+    else:
+        c = -A.T.dot(y)
+    b = A.dot(x) + s
+    data = {"A": A, "b": b, "c": c}
+    if with_P:
+        data["P"] = P
+        opt = 0.5 * x @ (P @ x) + c @ x
+    else:
+        opt = float(np.dot(c, x))
+    return data, opt, dict(x=x, y=y, s=s)
+
+
+def gen_infeasible(K, n, rng=None):
+    rng = rng or np.random.RandomState(0)
+    m = cone_dims(K)
+    z = rng.randn(m)
+    y = proj_dual_cone(z, K)  # dual-cone certificate direction
+    A = rng.randn(m, n)
+    A = A - np.outer(y, A.T.dot(y)) / (np.linalg.norm(y) ** 2)  # A'y = 0
+    b = rng.randn(m)
+    b = -b / np.dot(b, y)  # b'y = -1 < 0
+    return {"A": sparse.csc_matrix(A), "b": b, "c": rng.randn(n)}
+
+
+def gen_unbounded(K, n, rng=None):
+    rng = rng or np.random.RandomState(0)
+    m = cone_dims(K)
+    z = rng.randn(m)
+    s = proj_cone(z, K)
+    A = rng.randn(m, n)
+    x = rng.randn(n)
+    A = A - np.outer(s + A.dot(x), x) / (np.linalg.norm(x) ** 2)  # Ax + s = 0
+    c = rng.randn(n)
+    c = -c / np.dot(c, x)  # c'x = -1 < 0
+    return {"A": sparse.csc_matrix(A), "b": rng.randn(m), "c": c}
