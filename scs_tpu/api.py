@@ -278,7 +278,13 @@ class SCS:
             warm_u, warm_v = self._warm_state(x, y, s)
             state = core.init_state(mats, warm_u, warm_v)
         elif warm_start and self._warm is not None:
-            state = core.init_state(mats, *self._warm)
+            warm_u, warm_v, warm_scale = self._warm
+            # the stored v lives in the final adaptive-scale metric; map its
+            # y block into the fresh metric (s_hat = r_y * v_y invariant)
+            n, m = self.n, self.m
+            warm_v = np.asarray(warm_v).copy()
+            warm_v[n : n + m] *= float(self.stg.scale) / float(warm_scale)
+            state = core.init_state(mats, warm_u, warm_v)
         else:
             state = core.init_state(mats)
 
@@ -396,7 +402,7 @@ class SCS:
             x_out, y_out, s_out = np.asarray(x), np.asarray(y), np.asarray(s)
 
         # store the embedding state for warm starting the next solve
-        self._warm = (state.u, state.v)
+        self._warm = (state.u, state.v, float(state.scale))
 
         aa = state.aa
         aa_stats = {

@@ -74,11 +74,15 @@ def ruiz_equilibrate(A, P, b, c, spec: ConeSpec, passes=NUM_RUIZ_PASSES):
             blk_max = np.zeros(nblocks)
             np.maximum.at(blk_max, ids[ids >= 0], r[ids >= 0])
             r = np.where(ids >= 0, blk_max[np.clip(ids, 0, None)], r)
-        r = np.sqrt(np.maximum(r, MIN_SCALE))
+        # all-zero rows/cols must keep scale 1 (a zero row would otherwise
+        # blow its scale up by 1/sqrt(MIN_SCALE) every pass)
+        r = np.where(r <= MIN_SCALE, 1.0, r)
+        r = np.sqrt(r)
         cn = np.max(np.abs(Ah), axis=0)
         if Ph is not None:
             cn = np.maximum(cn, np.max(np.abs(Ph), axis=0))
-        cn = np.sqrt(np.maximum(cn, MIN_SCALE))
+        cn = np.where(cn <= MIN_SCALE, 1.0, cn)
+        cn = np.sqrt(cn)
         Ah /= r[:, None]
         Ah /= cn[None, :]
         if Ph is not None:
