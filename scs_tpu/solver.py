@@ -87,10 +87,10 @@ class Mats(NamedTuple):
 
 
 class AAState(NamedTuple):
-    dX: jnp.ndarray  # (L, 2N) ring buffer of iterate deltas
-    dF: jnp.ndarray  # (L, 2N) ring buffer of residual deltas
-    zeta_prev: jnp.ndarray  # (2N,)
-    f_prev: jnp.ndarray  # (2N,)
+    dX: jnp.ndarray  # (L, N) ring buffer of w-iterate deltas
+    dF: jnp.ndarray  # (L, N) ring buffer of DR-residual deltas
+    zeta_prev: jnp.ndarray  # (N,) previous w
+    f_prev: jnp.ndarray  # (N,) previous DR residual
     count: jnp.ndarray  # i32: total deltas pushed
     n_accept: jnp.ndarray
     n_reject_nonfinite: jnp.ndarray
@@ -114,8 +114,23 @@ class Diag(NamedTuple):
 
 
 class State(NamedTuple):
-    u: jnp.ndarray  # (N,) = (n + m + 1,)
-    v: jnp.ndarray  # (N,)
+    # Governing DR variable (reflection form): one fixed-point vector.
+    #   u_t = (R+Q)^-1 R w;  u = Pi_C(2 u_t - w);  w+ = w + alpha(u - u_t)
+    # The solver's (u, v) pair is DERIVED per step: u = the cone-projected
+    # iterate, v = w+ - u (the dual/slack variable; v = R^-1 Q(u) at a
+    # fixed point). Using w as the single state keeps the map firmly
+    # nonexpansive in the R-norm — the right space for Anderson
+    # acceleration (the (u,v)-pair ADMM form is equivalent pointwise but
+    # rank-degenerate, which poisons AA's least squares).
+    w: jnp.ndarray  # (N,) = (n + m + 1,)
+    u: jnp.ndarray  # (N,) derived cone-feasible iterate
+    v: jnp.ndarray  # (N,) derived dual variable
+    # running (ergodic) averages: DR iterates can wander in a slow limit
+    # band on small/degenerate problems while the time-average converges
+    # at O(1/k); termination checks consider both candidates.
+    u_sum: jnp.ndarray  # (N,)
+    v_sum: jnp.ndarray  # (N,)
+    avg_cnt: jnp.ndarray  # f: iterations accumulated
     scale: jnp.ndarray  # current DR scale (dynamic under adaptive_scale)
     L: jnp.ndarray  # (n,n) cholesky factor (direct) or (0,0) (indirect)
     gx: jnp.ndarray  # (n,)
@@ -255,12 +270,13 @@ class Core:
         N = self.N
         u = jnp.zeros(N, self.dtype).at[-1].set(1.0)
         v = jnp.zeros(N, self.dtype)
+        w = u + v
         Lb = max(self.lookback, 1)
         aa = AAState(
-            dX=jnp.zeros((Lb, 2 * N), self.dtype),
-            dF=jnp.zeros((Lb, 2 * N), self.dtype),
-            zeta_prev=jnp.concatenate([u, v]),
-            f_prev=jnp.zeros(2 * N, self.dtype),
+            dX=jnp.zeros((Lb, N), self.dtype),
+            dF=jnp.zeros((Lb, N), self.dtype),
+            zeta_prev=w,
+            f_prev=jnp.zeros(N, self.dtype),
             count=jnp.int32(-1),
             n_accept=jnp.int32(0),
             n_reject_nonfinite=jnp.int32(0),
@@ -273,8 +289,12 @@ class Core:
         nanv = jnp.asarray(jnp.nan, self.dtype)
         diag = Diag(*([nanv] * 9))
         return State(
+            w=w,
             u=u,
             v=v,
+            u_sum=jnp.zeros(N, self.dtype),
+            v_sum=jnp.zeros(N, self.dtype),
+            avg_cnt=jnp.asarray(0.0, self.dtype),
             scale=scale,
             L=L,
             gx=gx,
@@ -294,20 +314,23 @@ class Core:
         if warm_u is not None:
             u = jnp.asarray(warm_u, self.dtype)
             v = jnp.asarray(warm_v, self.dtype)
+            w = u + v
             state = state._replace(
+                w=w,
                 u=u,
                 v=v,
-                aa=state.aa._replace(zeta_prev=jnp.concatenate([u, v])),
+                aa=state.aa._replace(zeta_prev=w),
             )
         return state
 
     # -- one DR iteration -------------------------------------------------
 
     def _step(self, state: State, mats: Mats):
+        """One relaxed DR step on w (SURVEY.md §3.2 steps 1-4):
+        u_t = (R+Q)^-1 R w;  u = Pi_C(2 u_t - w);  w+ = w + alpha(u - u_t)."""
         n, m = self.n, self.m
         stg = self.stg
-        u, v = state.u, state.v
-        w = u + v
+        w = state.w
         wx, wy, wtau = w[:n], w[n : n + m], w[-1]
 
         ry = self._ry(state.scale)
@@ -335,15 +358,18 @@ class Core:
         tau = jnp.maximum(tau, 0.0)
 
         ut = jnp.concatenate([px - tau * gx, py - tau * gy, tau[None]])
-        r = stg.alpha * ut + (1.0 - stg.alpha) * u
-        tmp = r - v
-        uy = tmp[n : n + m] + self._proj_with_bounds(
-            -tmp[n : n + m], mats.bl, mats.bu
+        refl = 2.0 * ut - w
+        uy = refl[n : n + m] + self._proj_with_bounds(
+            -refl[n : n + m], mats.bl, mats.bu
         )
-        u_new = jnp.concatenate([tmp[:n], uy, jnp.maximum(tmp[-1], 0.0)[None]])
-        v_new = v + u_new - r
+        u_new = jnp.concatenate(
+            [refl[:n], uy, jnp.maximum(refl[-1], 0.0)[None]]
+        )
+        w_new = w + stg.alpha * (u_new - ut)
+        v_new = w_new - u_new
 
         return state._replace(
+            w=w_new,
             u=u_new,
             v=v_new,
             px_warm=px,
@@ -389,12 +415,19 @@ class Core:
     def _iter_body(self, state: State, mats: Mats):
         """One iteration: plain step, AA bookkeeping, periodic AA trial."""
         st1 = self._step(state, mats)
-        zeta = jnp.concatenate([state.u, state.v])
-        zeta1 = jnp.concatenate([st1.u, st1.v])
-        f = zeta1 - zeta  # fixed-point residual of the DR map at zeta
+        zeta = state.w
+        f = st1.w - zeta  # fixed-point residual of the DR map at w
+
+        def accumulate(st):
+            return st._replace(
+                it=state.it + 1,
+                u_sum=state.u_sum + st.u,
+                v_sum=state.v_sum + st.v,
+                avg_cnt=state.avg_cnt + 1.0,
+            )
 
         if self.lookback == 0:
-            return st1._replace(it=state.it + 1)
+            return accumulate(st1)
 
         aa = self._aa_push(state.aa, zeta, f)
         do_aa = ((state.it + 1) % self.interval == 0) & (aa.count >= 1)
@@ -405,11 +438,9 @@ class Core:
             weight_ok = jnp.sum(jnp.abs(gamma)) < 1e6
             # safeguard: evaluate the map at the candidate and compare
             # fixed-point residuals
-            n, N = self.n, self.N
-            cand_state = st1._replace(u=cand[:N], v=cand[N:])
+            cand_state = st1._replace(w=cand)
             st2 = self._step(cand_state, mats)
-            zeta2 = jnp.concatenate([st2.u, st2.v])
-            f_cand = zeta2 - cand
+            f_cand = st2.w - cand
             aa_norm = jnp.linalg.norm(f_cand)
             safe = aa_norm <= jnp.linalg.norm(f)
             accept = finite & weight_ok & safe
@@ -438,7 +469,7 @@ class Core:
             return st1._replace(aa=aa)
 
         out = lax.cond(do_aa, aa_branch, plain_branch, st1, aa)
-        return out._replace(it=state.it + 1)
+        return accumulate(out)
 
     # -- residuals / termination ------------------------------------------
 
@@ -551,6 +582,50 @@ class Core:
         status = jnp.where(bad, FAILED, status)
         state = state._replace(diag=diag, status=status)
 
+        # ergodic candidate: if the pointwise iterate has not terminated,
+        # test the running average (converges O(1/k) even when the
+        # pointwise DR iterate wanders in a slow limit band)
+        def try_average(state):
+            cnt = jnp.maximum(state.avg_cnt, 1.0)
+            ua = state.u_sum / cnt
+            va = state.v_sum / cnt
+            st_a = state._replace(u=ua, v=va)
+            diag_a, denoms_a, scalars_a = self._residuals(st_a, mats)
+            status_a = self._status_from(
+                diag_a, denoms_a, scalars_a, mats.norm_b, mats.norm_c
+            )
+            ok = (status_a != UNFINISHED) & jnp.all(jnp.isfinite(ua))
+            return lax.cond(
+                ok,
+                lambda: st_a._replace(diag=diag_a, status=status_a),
+                lambda: state,
+            )
+
+        state = lax.cond(
+            (status == UNFINISHED) & (state.avg_cnt > 50.0),
+            try_average,
+            lambda s: s,
+            state,
+        )
+        status = state.status
+
+        # doubling-window restart: keep the average over (roughly) the most
+        # recent half of the iterations so the early transient washes out
+        def reset_avg(s):
+            return s._replace(
+                u_sum=jnp.zeros_like(s.u_sum),
+                v_sum=jnp.zeros_like(s.v_sum),
+                avg_cnt=jnp.zeros_like(s.avg_cnt),
+            )
+
+        state = lax.cond(
+            (status == UNFINISHED)
+            & (2.0 * state.avg_cnt > state.it.astype(state.avg_cnt.dtype)),
+            reset_avg,
+            lambda s: s,
+            state,
+        )
+
         stg = self.stg
         if not stg.adaptive_scale:
             return state._replace(since_rescale=state.since_rescale + 1)
@@ -569,9 +644,14 @@ class Core:
         ratio = jnp.sqrt(
             jnp.maximum(rp_rel, 1e-300) / jnp.maximum(rd_rel, 1e-300)
         )
+        # annealed update interval: frequent early (finding the right scale
+        # fast), rare late (each update restarts the DR transient and the
+        # AA memory, so late churn prevents the tail from converging)
+        min_gap = jnp.maximum(
+            jnp.int32(stg.rescale_min_iters), state.it // 4
+        )
         trigger = (
-            (state.since_rescale + 1) * self.stg.check_interval
-            >= stg.rescale_min_iters
+            (state.since_rescale + 1) * self.stg.check_interval >= min_gap
         ) & (
             (ratio > stg.rescale_factor_band)
             | (ratio < 1.0 / stg.rescale_factor_band)
@@ -585,9 +665,10 @@ class Core:
             n, m = self.n, self.m
             # keep the slack s_hat = ry*v_y invariant across the metric change
             v = state.v.at[n : n + m].multiply(new_scale / state.scale)
+            w = state.u + v  # w = u + v by construction (v = w - u)
             aa = state.aa._replace(
                 count=jnp.int32(-1),
-                zeta_prev=jnp.concatenate([state.u, v]),
+                zeta_prev=w,
             )
             return state._replace(
                 scale=new_scale,
@@ -595,9 +676,15 @@ class Core:
                 gx=gx,
                 gy=gy,
                 v=v,
+                w=w,
                 scale_updates=state.scale_updates + 1,
                 since_rescale=jnp.int32(0),
                 aa=aa,
+                # the average lives in original coordinates; only v's y
+                # block is metric-dependent — rescale it like v itself
+                v_sum=state.v_sum.at[n : n + m].multiply(
+                    new_scale / state.scale
+                ),
             )
 
         state = lax.cond(
@@ -637,6 +724,26 @@ class Core:
         based on status.
         """
         n, m = self.n, self.m
+
+        # on exhaustion the ergodic average may be the better candidate
+        def score(st):
+            d, _, _ = self._residuals(st, mats)
+            return d.res_pri + d.res_dual + d.gap
+
+        def pick_avg(st):
+            cnt = jnp.maximum(st.avg_cnt, 1.0)
+            st_a = st._replace(u=st.u_sum / cnt, v=st.v_sum / cnt)
+            better = (
+                (st.avg_cnt > 50.0)
+                & jnp.all(jnp.isfinite(st_a.u))
+                & (score(st_a) < score(st))
+            )
+            return lax.cond(better, lambda: st_a, lambda: st)
+
+        state = lax.cond(
+            state.status == UNFINISHED, pick_avg, lambda s: s, state
+        )
+
         u, v = state.u, state.v
         xbar, ybar, tau = u[:n], u[n : n + m], u[-1]
         ry = self._ry(state.scale)

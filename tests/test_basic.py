@@ -26,7 +26,8 @@ def test_tiny_lp(strategy):
     b = np.array([1.0, 0.0])
     A = sp.csc_matrix([1.0, -1.0]).T.tocsc()
     data = {"A": A, "b": b, "c": c}
-    sol = _solve(data, {"l": 2}, solver_strategy=strategy)
+    sol = _solve(data, {"l": 2}, solver_strategy=strategy,
+                 eps_abs=1e-6, eps_rel=1e-6)
     assert sol["info"]["status"] == "solved"
     assert_almost_equal(sol["x"][0], 1.0, decimal=4)
     assert_almost_equal(sol["info"]["pobj"], -1.0, decimal=4)

@@ -1,0 +1,85 @@
+"""Batched multi-problem solving tests (vmap scenario batching)."""
+
+import numpy as np
+import pytest
+
+import scs_tpu as scs
+
+import oracle
+
+K = {"l": 10, "q": [4]}
+m = oracle.cone_dims(K)
+n = 8
+
+
+def _gen_batch(B, seed=0):
+    rng = np.random.RandomState(seed)
+    As, bs, cs, Ps, stars = [], [], [], [], []
+    for i in range(B):
+        data, p_star, _ = oracle.gen_feasible(K, n=n, density=0.5, rng=rng)
+        As.append(np.asarray(data["A"].todense()))
+        bs.append(data["b"])
+        cs.append(data["c"])
+        stars.append(p_star)
+    return np.stack(As), np.stack(bs), np.stack(cs), stars
+
+
+def test_batch_matches_single():
+    B = 4
+    A, b, c, stars = _gen_batch(B, seed=42)
+    results = scs.solve_batch(
+        {"A": A, "b": b, "c": c}, K, eps_abs=1e-6, eps_rel=1e-6
+    )
+    assert len(results) == B
+    for i, r in enumerate(results):
+        assert r["info"]["status"] == "solved", f"problem {i}: {r['info']['status']}"
+        np.testing.assert_almost_equal(c[i] @ r["x"], stars[i], decimal=3)
+        # KKT residuals
+        assert np.linalg.norm(A[i] @ r["x"] - b[i] + r["s"]) < 1e-3
+        assert np.linalg.norm(A[i].T @ r["y"] + c[i]) < 1e-3
+
+
+def test_batch_mixed_statuses():
+    rng = np.random.RandomState(5)
+    K2 = {"l": 12}
+    m2 = oracle.cone_dims(K2)
+    n2 = 6
+    feas, _, _ = oracle.gen_feasible(K2, n=n2, density=0.8, rng=rng)
+    infeas = oracle.gen_infeasible(K2, n=n2, rng=rng)
+    A = np.stack(
+        [np.asarray(feas["A"].todense()), np.asarray(infeas["A"].todense())]
+    )
+    b = np.stack([feas["b"], infeas["b"]])
+    c = np.stack([feas["c"], infeas["c"]])
+    results = scs.solve_batch({"A": A, "b": b, "c": c}, K2, eps_abs=1e-6,
+                              eps_rel=1e-6)
+    assert results[0]["info"]["status"] == "solved"
+    assert results[1]["info"]["status"] == "infeasible"
+
+
+def test_batch_with_P():
+    B = 3
+    rng = np.random.RandomState(11)
+    K2 = {"l": 10}
+    m2, n2 = 10, 5
+    A = rng.randn(B, m2, n2)
+    G = rng.randn(B, n2, n2)
+    P = np.einsum("bij,bkj->bik", G, G) * 0.1
+    x0 = rng.randn(B, n2)
+    b = np.einsum("bij,bj->bi", A, x0) + np.abs(rng.randn(B, m2))
+    c = rng.randn(B, n2)
+    results = scs.solve_batch({"A": A, "b": b, "c": c, "P": P}, K2,
+                              eps_abs=1e-6, eps_rel=1e-6)
+    for i, r in enumerate(results):
+        assert r["info"]["status"] == "solved"
+        # compare against the single-problem path
+        import scipy.sparse as sp
+
+        single = scs.solve(
+            {"A": sp.csc_matrix(A[i]), "b": b[i], "c": c[i],
+             "P": sp.csc_matrix(np.triu(P[i]))},
+            K2, verbose=False, eps_abs=1e-6, eps_rel=1e-6,
+        )
+        np.testing.assert_almost_equal(
+            r["info"]["pobj"], single["info"]["pobj"], decimal=4
+        )
