@@ -140,6 +140,11 @@ class BatchedSCS:
         jax.block_until_ready(self._states.gx)
         self._setup_time = time.perf_counter() - t0
 
+    def reset(self):
+        """Re-initialize all solver states (cold start)."""
+        self._states = self._vinit(self.mats)
+        jax.block_until_ready(self._states.gx)
+
     def solve(self):
         t0 = time.perf_counter()
         states = self._vrun(self._states, self.mats, self.stg.max_iters)

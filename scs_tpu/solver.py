@@ -398,16 +398,26 @@ class Core:
         """Compute the AA candidate point from the ring buffers."""
         stg = self.stg
         dX, dF = aa.dX, aa.dF
+        eye = jnp.eye(dX.shape[0], dtype=self.dtype)
+        # Solve the small (L x L) system via a PSD Cholesky form — the TPU
+        # compiler implements Cholesky for f32/f64 but not LU.
         if stg.acceleration_type_1:
-            G = dX @ dF.T  # (L, L) type-I mixed Gram
-            rhs = dX @ f
+            M = dX @ dF.T  # (L, L) type-I mixed Gram (nonsymmetric)
+            rhs0 = dX @ f
+            reg = stg.acceleration_regularization * (
+                1.0 + jnp.trace(jnp.abs(M))
+            )
+            G = M.T @ M + (reg * reg) * eye  # regularized LS normal form
+            rhs = M.T @ rhs0
         else:
-            G = dF @ dF.T  # type-II
+            G0 = dF @ dF.T  # type-II Gram (PSD)
+            reg = stg.acceleration_regularization * (
+                1.0 + jnp.trace(G0)
+            )
+            G = G0 + reg * eye
             rhs = dF @ f
-        reg = stg.acceleration_regularization * (1.0 + jnp.trace(jnp.abs(G)))
-        gamma = jnp.linalg.solve(
-            G + reg * jnp.eye(G.shape[0], dtype=self.dtype), rhs
-        )
+        chol = jnp.linalg.cholesky(G)
+        gamma = jax.scipy.linalg.cho_solve((chol, True), rhs)
         beta = stg.acceleration_relaxation
         cand = zeta - gamma @ dX + beta * (f - gamma @ dF)
         return cand, gamma, reg
