@@ -392,14 +392,16 @@ class SCS:
             else:
                 status = info_mod.SOLVED_INACCURATE
 
+        # fresh writable copies (reference parity: OWNDATA numpy arrays,
+        # scsobject.h:1015-1043)
         nan_n = np.full(self.n, np.nan)
         nan_m = np.full(self.m, np.nan)
         if status in (info_mod.INFEASIBLE, info_mod.INFEASIBLE_INACCURATE):
-            x_out, y_out, s_out = nan_n, np.asarray(y_cert), nan_m
+            x_out, y_out, s_out = nan_n, np.array(y_cert), nan_m
         elif status in (info_mod.UNBOUNDED, info_mod.UNBOUNDED_INACCURATE):
-            x_out, y_out, s_out = np.asarray(x_cert), nan_m, np.asarray(s_cert)
+            x_out, y_out, s_out = np.array(x_cert), nan_m, np.array(s_cert)
         else:
-            x_out, y_out, s_out = np.asarray(x), np.asarray(y), np.asarray(s)
+            x_out, y_out, s_out = np.array(x), np.array(y), np.array(s)
 
         # store the embedding state for warm starting the next solve
         self._warm = (state.u, state.v, float(state.scale))

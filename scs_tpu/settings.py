@@ -93,6 +93,12 @@ class Settings:
     # checks (verbose print, time limit, SIGINT). Residual/termination checks
     # happen on device at this granularity too.
     check_interval: int = 25
+    # AA safeguarding: accept a candidate if its fixed-point residual is at
+    # most aa_safeguard_factor x the current one; optionally clear the AA
+    # memory after a rejection (the rejected direction stays poisonous
+    # otherwise — the reference core resets its AA state similarly).
+    aa_safeguard_factor: float = 2.0
+    aa_reset_on_reject: bool = False
     # Adaptive-scale update guards (reference core: scale updated when the
     # primal/dual residual ratio drifts; 'factorizations: 8' in logs).
     rescale_min_iters: int = 100

@@ -395,15 +395,26 @@ class Core:
         )
 
     def _aa_candidate(self, aa: AAState, zeta, f):
-        """Compute the AA candidate point from the ring buffers."""
+        """Compute the AA candidate point from the ring buffers.
+
+        The small least-squares solve runs in residual-normalized units:
+        all deltas and f are divided by ||f|| first, so the Tikhonov
+        regularization is RELATIVE to the Gram magnitude. (With absolute
+        regularization, the late-solve regime — deltas ~1e-5, Gram ~1e-10
+        — is swamped by a 1e-8 floor and AA silently degenerates to the
+        plain step; this is the difference between a linear tail and
+        GMRES-like convergence on the nearly-affine DR map.)
+        """
         stg = self.stg
-        dX, dF = aa.dX, aa.dF
+        s = jnp.linalg.norm(f) + jnp.asarray(1e-300, self.dtype)
+        dX, dF = aa.dX / s, aa.dF / s
+        fs = f / s
         eye = jnp.eye(dX.shape[0], dtype=self.dtype)
         # Solve the small (L x L) system via a PSD Cholesky form — the TPU
         # compiler implements Cholesky for f32/f64 but not LU.
         if stg.acceleration_type_1:
             M = dX @ dF.T  # (L, L) type-I mixed Gram (nonsymmetric)
-            rhs0 = dX @ f
+            rhs0 = dX @ fs
             reg = stg.acceleration_regularization * (
                 1.0 + jnp.trace(jnp.abs(M))
             )
@@ -415,11 +426,11 @@ class Core:
                 1.0 + jnp.trace(G0)
             )
             G = G0 + reg * eye
-            rhs = dF @ f
+            rhs = dF @ fs
         chol = jnp.linalg.cholesky(G)
         gamma = jax.scipy.linalg.cho_solve((chol, True), rhs)
         beta = stg.acceleration_relaxation
-        cand = zeta - gamma @ dX + beta * (f - gamma @ dF)
+        cand = zeta - gamma @ aa.dX + beta * (f - gamma @ aa.dF)
         return cand, gamma, reg
 
     def _iter_body(self, state: State, mats: Mats):
@@ -444,6 +455,16 @@ class Core:
 
         def aa_branch(st1, aa):
             cand, gamma, reg = self._aa_candidate(aa, zeta, f)
+            # The DR map is positively homogeneous (the embedding's fixed
+            # points form a ray), so shrinking w shrinks the residual by the
+            # same factor — a fake "improvement" AA otherwise exploits until
+            # tau underflows. Rescale the candidate back to the current
+            # iterate's norm (exact by homogeneity) so the safeguard
+            # comparison is scale-fair.
+            cand = cand * (
+                jnp.linalg.norm(zeta)
+                / jnp.maximum(jnp.linalg.norm(cand), 1e-300)
+            )
             finite = jnp.all(jnp.isfinite(cand))
             weight_ok = jnp.sum(jnp.abs(gamma)) < 1e6
             # safeguard: evaluate the map at the candidate and compare
@@ -452,10 +473,23 @@ class Core:
             st2 = self._step(cand_state, mats)
             f_cand = st2.w - cand
             aa_norm = jnp.linalg.norm(f_cand)
-            safe = aa_norm <= jnp.linalg.norm(f)
+            safe = aa_norm <= self.stg.aa_safeguard_factor * jnp.linalg.norm(f)
             accept = finite & weight_ok & safe
 
             new_state = lax.cond(accept, lambda: st2, lambda: st1)
+            if self.stg.aa_reset_on_reject:
+                # a rejected candidate means the memory spans a bad
+                # direction; clear it so the next window starts clean
+                aa = lax.cond(
+                    accept,
+                    lambda a: a,
+                    lambda a: a._replace(
+                        count=jnp.int32(-1),
+                        dX=jnp.zeros_like(a.dX),
+                        dF=jnp.zeros_like(a.dF),
+                    ),
+                    aa,
+                )
             aa = aa._replace(
                 n_accept=aa.n_accept + accept.astype(jnp.int32),
                 n_reject_nonfinite=aa.n_reject_nonfinite
@@ -584,6 +618,31 @@ class Core:
 
     def _check(self, state: State, mats: Mats):
         """Residuals + termination + adaptive scale (with refactorization)."""
+        # Renormalize the iterate to a fixed reference norm. Exact by the
+        # positive homogeneity of the DR map (all residual/termination
+        # quantities are scale-invariant); prevents slow drift of the
+        # iterate scale toward 0/inf along the embedding's ray of fixed
+        # points, which erodes the precision of tau-divided quantities.
+        nrm = jnp.linalg.norm(state.w)
+        t = jnp.where(
+            jnp.isfinite(nrm) & (nrm > 0),
+            jnp.asarray(float(np.sqrt(self.N)), self.dtype) / nrm,
+            jnp.asarray(1.0, self.dtype),
+        )
+        state = state._replace(
+            w=state.w * t,
+            u=state.u * t,
+            v=state.v * t,
+            u_sum=state.u_sum * t,
+            v_sum=state.v_sum * t,
+            px_warm=state.px_warm * t,
+            aa=state.aa._replace(
+                dX=state.aa.dX * t,
+                dF=state.aa.dF * t,
+                zeta_prev=state.aa.zeta_prev * t,
+                f_prev=state.aa.f_prev * t,
+            ),
+        )
         diag, denoms, scalars = self._residuals(state, mats)
         status = self._status_from(
             diag, denoms, scalars, mats.norm_b, mats.norm_c
@@ -803,6 +862,8 @@ def get_core(m, n, has_P, spec: ConeSpec, stg: Settings) -> Core:
         stg.acceleration_type_1,
         stg.acceleration_regularization,
         stg.acceleration_relaxation,
+        stg.aa_safeguard_factor,
+        stg.aa_reset_on_reject,
         stg.check_interval,
         stg.rescale_min_iters,
         stg.cg_rate,
