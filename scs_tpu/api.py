@@ -24,6 +24,7 @@ from scipy import sparse
 import jax.numpy as jnp
 
 from . import info as info_mod
+from . import native
 from .cones import ConeSpec
 from .io import CsvLogger, print_footer, print_header, print_iter_line, write_problem
 from .normalize import identity_scaling, ruiz_equilibrate
@@ -81,6 +82,8 @@ def _resolve_strategy(linear_solver, m, n) -> str:
 def _has_lower_tri(P):
     """Fast check for strictly-lower-triangular entries in sorted CSC
     (mirrors reference _has_lower_tri, scs/py/__init__.py:77-84)."""
+    if native.available:
+        return native.has_lower_tri(P.indptr, P.indices, P.shape[1])
     nnz_per_col = np.diff(P.indptr)
     nonempty = nnz_per_col > 0
     if not nonempty.any():
@@ -124,7 +127,11 @@ class SCS:
             if not A.has_sorted_indices:
                 A = A.sorted_indices()
             self._A_input = A
-            A_dense = np.asarray(A.todense())
+            A_dense = (
+                native.csc_to_dense(A)
+                if native.available
+                else np.asarray(A.todense())
+            )
 
         if sparse.issparse(b):
             b = np.asarray(b.todense()).ravel()
@@ -159,8 +166,11 @@ class SCS:
                 P = sparse.triu(P, format="csc")
             # P holds the upper triangle; expand to the full symmetric
             # matrix for the dense TPU path.
-            U = np.asarray(P.todense())
-            P_dense = U + U.T - np.diag(np.diag(U))
+            if native.available:
+                P_dense = native.csc_triu_to_dense_sym(P)
+            else:
+                U = np.asarray(P.todense())
+                P_dense = U + U.T - np.diag(np.diag(U))
 
         # settings: reference keyword surface + TPU extras
         linear_solver = settings.pop("linear_solver", LinearSolver.AUTO)

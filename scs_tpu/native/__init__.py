@@ -1,0 +1,204 @@
+"""Native host-side runtime (C++ via ctypes).
+
+Counterpart of the reference's native runtime layer around its compute
+core (scs_source/linsys/scs_matrix.c, csparse.c for CSC plumbing and
+scs_source/src/rw.c for binary problem serialization). The TPU compute
+path stays in JAX/XLA/Pallas; this layer covers the host-side data
+plumbing where the reference also uses native code.
+
+The shared library is compiled from csc_ops.cpp on first use with g++
+(no pybind11 in the image — plain C ABI + ctypes) and cached next to the
+source; if the toolchain is unavailable everything falls back to the
+pure-Python implementations at the call sites (`native.available` is
+False then).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "csc_ops.cpp")
+_SO = os.path.join(_DIR, "_scs_native.so")
+
+_lib = None
+available = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f64p = ctypes.POINTER(ctypes.c_double)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-fno-math-errno", "-funroll-loops",
+        _SRC, "-o", _SO + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def _load():
+    global _lib, available
+    if _lib is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+    except Exception:
+        available = False
+        return None
+
+    lib.csc_has_lower_tri.restype = ctypes.c_int64
+    lib.csc_has_lower_tri.argtypes = [_i64p, _i64p, ctypes.c_int64]
+    lib.csc_validate.restype = ctypes.c_int64
+    lib.csc_validate.argtypes = [_i64p, _i64p, ctypes.c_int64, ctypes.c_int64]
+    lib.csc_to_dense.restype = None
+    lib.csc_to_dense.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _f64p, _i64p, _i64p, _f64p]
+    lib.csc_triu_to_dense_sym.restype = None
+    lib.csc_triu_to_dense_sym.argtypes = [
+        ctypes.c_int64, _f64p, _i64p, _i64p, _f64p]
+    lib.csc_matvec.restype = None
+    lib.csc_matvec.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _f64p, _i64p, _i64p, _f64p, _f64p]
+    lib.csc_rmatvec.restype = None
+    lib.csc_rmatvec.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _f64p, _i64p, _i64p, _f64p, _f64p]
+    lib.bell_count.restype = None
+    lib.bell_count.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64,
+        _i64p, _u8p]
+    lib.bell_fill.restype = None
+    lib.bell_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _f64p, _i64p, _i64p,
+        ctypes.c_int64, ctypes.c_int64, _f64p, _i64p]
+    lib.write_problem_bin.restype = ctypes.c_int64
+    lib.read_problem_header.restype = ctypes.c_int64
+    lib.read_problem_header.argtypes = [
+        ctypes.c_char_p, _i64p, _i64p, _i64p, _i64p, _i64p]
+    lib.read_problem_body.restype = ctypes.c_int64
+
+    _lib = lib
+    available = True
+    return lib
+
+
+def _as_i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _as_f64(a):
+    return np.ascontiguousarray(a, dtype=np.float64)
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(typ)
+
+
+def has_lower_tri(indptr, indices, ncols) -> bool:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ip, ix = _as_i64(indptr), _as_i64(indices)
+    return bool(lib.csc_has_lower_tri(_ptr(ip, _i64p), _ptr(ix, _i64p), ncols))
+
+
+def validate_csc(indptr, indices, nrows, ncols) -> bool:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ip, ix = _as_i64(indptr), _as_i64(indices)
+    return bool(lib.csc_validate(_ptr(ip, _i64p), _ptr(ix, _i64p), nrows, ncols))
+
+
+def csc_to_dense(A) -> np.ndarray:
+    """Dense row-major (m, n) from a scipy CSC matrix (one native pass)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    m, n = A.shape
+    data, ix, ip = _as_f64(A.data), _as_i64(A.indices), _as_i64(A.indptr)
+    out = np.empty((m, n), np.float64)
+    lib.csc_to_dense(m, n, _ptr(data, _f64p), _ptr(ix, _i64p),
+                     _ptr(ip, _i64p), _ptr(out, _f64p))
+    return out
+
+
+def csc_triu_to_dense_sym(P) -> np.ndarray:
+    """Full symmetric dense (n, n) from an upper-triangular CSC P."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = P.shape[0]
+    data, ix, ip = _as_f64(P.data), _as_i64(P.indices), _as_i64(P.indptr)
+    out = np.empty((n, n), np.float64)
+    lib.csc_triu_to_dense_sym(n, _ptr(data, _f64p), _ptr(ix, _i64p),
+                              _ptr(ip, _i64p), _ptr(out, _f64p))
+    return out
+
+
+def csc_matvec(A, x) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    m, n = A.shape
+    data, ix, ip = _as_f64(A.data), _as_i64(A.indices), _as_i64(A.indptr)
+    xv = _as_f64(x)
+    y = np.empty(m, np.float64)
+    lib.csc_matvec(m, n, _ptr(data, _f64p), _ptr(ix, _i64p), _ptr(ip, _i64p),
+                   _ptr(xv, _f64p), _ptr(y, _f64p))
+    return y
+
+
+def csc_rmatvec(A, x) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    m, n = A.shape
+    data, ix, ip = _as_f64(A.data), _as_i64(A.indices), _as_i64(A.indptr)
+    xv = _as_f64(x)
+    y = np.empty(n, np.float64)
+    lib.csc_rmatvec(m, n, _ptr(data, _f64p), _ptr(ix, _i64p), _ptr(ip, _i64p),
+                    _ptr(xv, _f64p), _ptr(y, _f64p))
+    return y
+
+
+def pack_block_ell(A, block_size: int):
+    """Pack a scipy CSC matrix into TPU-friendly block-ELL form.
+
+    Returns (blocks, cols) with blocks: (nbr, width, bs, bs) f64 and
+    cols: (nbr, width) i64 block-column ids (padding slots point at
+    block-column 0 with all-zero data). This is the host-side packer for
+    the Pallas block-SpMV kernel (ops/sparse.py).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    m, n = A.shape
+    bs = int(block_size)
+    nbr = -(-m // bs)
+    data, ix, ip = _as_f64(A.data), _as_i64(A.indices), _as_i64(A.indptr)
+    counts = np.zeros(nbr, np.int64)
+    scratch = np.zeros(1, np.uint8)
+    lib.bell_count(m, n, _ptr(ix, _i64p), _ptr(ip, _i64p), bs,
+                   _ptr(counts, _i64p), _ptr(scratch, _u8p))
+    width = max(int(counts.max()) if nbr else 0, 1)
+    blocks = np.zeros((nbr, width, bs, bs), np.float64)
+    cols = np.zeros((nbr, width), np.int64)
+    lib.bell_fill(m, n, _ptr(data, _f64p), _ptr(ix, _i64p), _ptr(ip, _i64p),
+                  bs, width, _ptr(blocks, _f64p), _ptr(cols, _i64p))
+    return blocks, cols
+
+
+try:  # eager probe so `native.available` is meaningful at import time
+    _load()
+except Exception:
+    available = False
