@@ -18,6 +18,13 @@ import jax as _jax
 # in float32 when requested via Settings.dtype.
 _jax.config.update("jax_enable_x64", True)
 
+# On TPU, float32 matmuls default to bfloat16 MXU passes (~1e-2 relative
+# error) — fatal for an iterative solver whose linear projection must be
+# accurate to ~1e-6 (the DR iteration stalls at the matmul noise floor;
+# measured: the bench QP plateaus at res~0.3 under default precision and
+# solves in 250 iters at "highest"). Force full-f32 (6-pass) matmuls.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "1.0.0"  # framework version; tracks reference capability 3.2.11
 
 from .api import SCS, solve, LinearSolver  # noqa: E402,F401

@@ -15,6 +15,7 @@ existing call sites keep working.
 from __future__ import annotations
 
 import enum
+import threading
 import time
 import warnings
 
@@ -29,7 +30,7 @@ from .cones import ConeSpec
 from .io import CsvLogger, print_footer, print_header, print_iter_line, write_problem
 from .normalize import identity_scaling, ruiz_equilibrate
 from .settings import Settings
-from .solver import Mats, get_core
+from .solver import BellData, Mats, get_core
 
 
 class LinearSolver(enum.Enum):
@@ -68,15 +69,19 @@ _INDIRECT = {
 }
 
 
-def _resolve_strategy(linear_solver, m, n) -> str:
+def _resolve_strategy(linear_solver, m, n, density=1.0) -> str:
     if isinstance(linear_solver, str):
         linear_solver = LinearSolver(linear_solver)
     if linear_solver in _DIRECT:
         return "direct"
     if linear_solver in _INDIRECT:
         return "indirect"
-    # AUTO heuristic: dense factorization for moderate n, CG for large
-    return "direct" if n <= 4096 else "indirect"
+    # AUTO heuristic: dense factorization for moderate n; for large
+    # problems, matrix-free CG — via the block-ELL Pallas SpMV when the
+    # data is genuinely sparse, dense matmuls otherwise
+    if n <= 4096:
+        return "direct"
+    return "bell" if density < 0.05 else "indirect"
 
 
 def _has_lower_tri(P):
@@ -175,10 +180,11 @@ class SCS:
         # settings: reference keyword surface + TPU extras
         linear_solver = settings.pop("linear_solver", LinearSolver.AUTO)
         self.stg = Settings.from_kwargs(**settings)
+        density = self._A_input.nnz / max(m * n, 1)
         strategy = (
             self.stg.solver_strategy
             if self.stg.solver_strategy != "auto"
-            else _resolve_strategy(linear_solver, m, n)
+            else _resolve_strategy(linear_solver, m, n, density)
         )
         object.__setattr__(self.stg, "solver_strategy", strategy)
 
@@ -209,7 +215,30 @@ class SCS:
         self._dtype = dtype
         has_P = P_dense is not None
         self.has_P = has_P
+
+        bell = None
+        if strategy == "bell":
+            # pack the NORMALIZED A into block-ELL (the iteration-time
+            # operator); dense A never reaches the device
+            from .ops.sparse import pack_bell
+
+            bm = pack_bell(sparse.csc_matrix(Ah), self.stg.bell_block_size, dtype)
+            zmask = spec_hat.zero_row_mask()
+            colsq_zero = np.asarray(
+                (np.asarray(Ah) ** 2 * zmask[:, None]).sum(axis=0)
+            )
+            bell = BellData(
+                A_blocks=bm.A_blocks,
+                A_cols=bm.A_cols,
+                At_blocks=bm.At_blocks,
+                At_cols=bm.At_cols,
+                colsq_all=bm.col_sq,
+                colsq_zero=jnp.asarray(colsq_zero, dtype),
+            )
+            Ah = np.zeros((0, 0))
+
         self.mats = Mats(
+            bell=bell,
             A=jnp.asarray(Ah, dtype),
             P=jnp.asarray(Ph, dtype) if has_P else jnp.zeros((0, 0), dtype),
             bn=jnp.asarray(bh, dtype),
@@ -230,6 +259,12 @@ class SCS:
         _ = self._state0.gx.block_until_ready()
         self._setup_time = time.perf_counter() - t0
         self._warm = None  # (u, v) from the previous solve
+        # Per-instance lock serializing solve/update on a shared instance —
+        # the counterpart of the reference's PyThread_type_lock discipline
+        # (scs/scsobject.h:12, 939-955): concurrent solves on ONE instance
+        # are serialized; distinct instances run fully in parallel (JAX
+        # releases the GIL during device execution).
+        self._lock = threading.RLock()
 
         if self.stg.write_data_filename:
             write_problem(
@@ -280,7 +315,13 @@ class SCS:
 
     def solve(self, warm_start=True, x=None, y=None, s=None):
         """Run the solver. Mirrors reference SCS.solve
-        (scs/py/__init__.py:186-203)."""
+        (scs/py/__init__.py:186-203). Thread-safe: concurrent calls on a
+        shared instance are serialized by the per-instance lock (the
+        reference's lock-then-release-GIL discipline, scsobject.h:939-955)."""
+        with self._lock:
+            return self._solve_locked(warm_start, x, y, s)
+
+    def _solve_locked(self, warm_start, x, y, s):
         core, mats, stg = self.core, self.mats, self.stg
         t0 = time.perf_counter()
 
@@ -462,7 +503,12 @@ class SCS:
 
     def update(self, b=None, c=None):
         """Update b and/or c without refactorizing (reference SCS.update,
-        scs/py/__init__.py:205-214; core semantics per SURVEY §3.3)."""
+        scs/py/__init__.py:205-214; core semantics per SURVEY §3.3).
+        Thread-safe under the per-instance lock."""
+        with self._lock:
+            return self._update_locked(b, c)
+
+    def _update_locked(self, b=None, c=None):
         scal = self._scal
         mats = self.mats
         if b is not None:

@@ -1,0 +1,207 @@
+"""Block-ELL sparse matrix-vector product — the TPU-native sparse layout
+and Pallas kernel behind the large-problem indirect strategy.
+
+The reference's indirect backend does CSC SpMV on the CPU
+(scs_source/linsys/cpu/indirect/private.c over scs_matrix.c). CSC gathers
+are hostile to the TPU's vector/matrix units, so the TPU layout is
+block-ELL: the matrix is cut into (bs x bs) dense tiles, and each
+block-row stores a fixed number (`width`) of nonzero tiles plus their
+block-column ids. SpMV then becomes `width` dense (bs x bs) @ (bs,)
+products per block-row — MXU work with perfectly static shapes — and the
+block-column ids ride the scalar-prefetch path so each x tile is DMA'd
+into VMEM exactly when needed.
+
+Host-side packing is done by the native C++ runtime
+(native.pack_block_ell); this module provides:
+
+  * bell_spmv       — Pallas TPU kernel (f32), with an interpret fallback
+  * bell_spmv_ref   — pure-jnp reference (any backend/dtype, used on CPU
+                      and as the numerical oracle)
+  * BellMatrix      — packed (A, A^T) pair with .mv / .rmv
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _pallas_available() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def bell_spmv_ref(blocks, cols, x_pad):
+    """Reference block-ELL SpMV: y (nbr*bs,) = A @ x.
+
+    blocks: (nbr, width, bs, bs); cols: (nbr, width) int32;
+    x_pad: (nbc*bs,) zero-padded input.
+    """
+    nbr, width, bs, _ = blocks.shape
+    xb = x_pad.reshape(-1, bs)  # (nbc, bs)
+    gathered = xb[cols]  # (nbr, width, bs)
+    y = jnp.einsum(
+        "rwij,rwj->ri", blocks, gathered,
+        preferred_element_type=blocks.dtype,
+    )
+    return y.reshape(nbr * bs)
+
+
+def _bell_kernel(cols_ref, blk_ref, x_ref, y_ref):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    y_ref[0, 0, :] += jnp.dot(
+        blk_ref[0, 0], x_ref[0, 0, :], preferred_element_type=y_ref.dtype
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bell_spmv(blocks, cols, x_pad, *, interpret=False):
+    """Pallas TPU block-ELL SpMV. f32 in/out; shapes as bell_spmv_ref.
+
+    Tiles are carried as (count, 1, bs) so every block's trailing two
+    dims are (1, bs) — equal-to-array on the sublane axis, lane-aligned
+    on the last (the TPU lowering requires (8k, 128k) or equal dims).
+    The x tile for each (block-row, slot) is DMA'd into VMEM by the
+    scalar-prefetched block-column id.
+    """
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
+    nbr, width, bs, _ = blocks.shape
+    xb = x_pad.reshape(-1, 1, bs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr, width),
+        in_specs=[
+            pl.BlockSpec((1, 1, bs, bs), lambda i, w, cols: (i, w, 0, 0)),
+            pl.BlockSpec((1, 1, bs), lambda i, w, cols: (cols[i, w], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bs), lambda i, w, cols: (i, 0, 0)),
+    )
+    y = pl.pallas_call(
+        _bell_kernel,
+        out_shape=jax.ShapeDtypeStruct((nbr, 1, bs), blocks.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * width * bs * bs,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + 2 * nbr * bs * blocks.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(cols.astype(jnp.int32), blocks, xb)
+    return y.reshape(nbr * bs)
+
+
+class BellMatrix(NamedTuple):
+    """Packed block-ELL representation of A and A^T (the pre-transposed
+    A^T mirrors the reference GPU backend's gpu_atrans option,
+    meson.build:291-293)."""
+
+    m: int
+    n: int
+    bs: int
+    A_blocks: jnp.ndarray  # (nbr, wA, bs, bs)
+    A_cols: jnp.ndarray  # (nbr, wA)
+    At_blocks: jnp.ndarray  # (nbc, wAt, bs, bs)
+    At_cols: jnp.ndarray  # (nbc, wAt)
+    col_sq: jnp.ndarray  # (n,) sum_i A_ij^2  (Jacobi preconditioner data)
+    row_sq: jnp.ndarray  # (m,) sum_j A_ij^2
+
+    @property
+    def m_pad(self):
+        return self.A_blocks.shape[0] * self.bs
+
+    @property
+    def n_pad(self):
+        return self.At_blocks.shape[0] * self.bs
+
+    def mv(self, x, *, use_pallas=None):
+        """A @ x for x of length n (returns length m)."""
+        x_pad = jnp.zeros(self.n_pad, self.A_blocks.dtype).at[: self.n].set(x)
+        if use_pallas is None:
+            use_pallas = _pallas_available()
+        f = bell_spmv if use_pallas else bell_spmv_ref
+        return f(self.A_blocks, self.A_cols, x_pad)[: self.m]
+
+    def rmv(self, y, *, use_pallas=None):
+        """A^T @ y for y of length m (returns length n)."""
+        y_pad = jnp.zeros(self.m_pad, self.At_blocks.dtype).at[: self.m].set(y)
+        if use_pallas is None:
+            use_pallas = _pallas_available()
+        f = bell_spmv if use_pallas else bell_spmv_ref
+        return f(self.At_blocks, self.At_cols, y_pad)[: self.n]
+
+
+def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
+    """Pack a scipy CSC matrix into a BellMatrix (A and A^T).
+
+    Uses the native C++ packer when available, else a numpy fallback.
+    """
+    from scipy import sparse as sp  # noqa: PLC0415
+
+    from .. import native  # noqa: PLC0415
+
+    A_csc = sp.csc_matrix(A_csc)
+    A_csc.sort_indices()
+    At_csc = sp.csc_matrix(A_csc.T)
+    At_csc.sort_indices()
+    m, n = A_csc.shape
+
+    def pack(M):
+        if native.available:
+            return native.pack_block_ell(M, block_size)
+        return _pack_bell_numpy(M, block_size)
+
+    A_blocks, A_cols = pack(A_csc)
+    At_blocks, At_cols = pack(At_csc)
+    d = np.asarray(A_csc.multiply(A_csc).sum(axis=0)).ravel()
+    r = np.asarray(A_csc.multiply(A_csc).sum(axis=1)).ravel()
+    return BellMatrix(
+        m=m,
+        n=n,
+        bs=block_size,
+        A_blocks=jnp.asarray(A_blocks, dtype),
+        A_cols=jnp.asarray(A_cols, jnp.int32),
+        At_blocks=jnp.asarray(At_blocks, dtype),
+        At_cols=jnp.asarray(At_cols, jnp.int32),
+        col_sq=jnp.asarray(d, dtype),
+        row_sq=jnp.asarray(r, dtype),
+    )
+
+
+def _pack_bell_numpy(A_csc, bs):
+    """Pure-numpy block-ELL packer (fallback when g++ is unavailable)."""
+    m, n = A_csc.shape
+    nbr, nbc = -(-m // bs), -(-n // bs)
+    coo = A_csc.tocoo()
+    bi, bj = coo.row // bs, coo.col // bs
+    pair_ids = bi * nbc + bj
+    uniq = np.unique(pair_ids)
+    slots = {}
+    counts = np.zeros(nbr, np.int64)
+    for p in uniq:
+        r = p // nbc
+        slots[p] = counts[r]
+        counts[r] += 1
+    width = max(int(counts.max()) if nbr else 0, 1)
+    blocks = np.zeros((nbr, width, bs, bs))
+    cols = np.zeros((nbr, width), np.int64)
+    for p in uniq:
+        cols[p // nbc, slots[p]] = p % nbc
+    slot_of = np.array([slots[p] for p in pair_ids])
+    blocks[bi, slot_of, coo.row % bs, coo.col % bs] = coo.data
+    return blocks, cols

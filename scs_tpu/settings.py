@@ -81,9 +81,13 @@ class Settings:
     # Numeric dtype of the on-device solve: "float64" | "float32".
     dtype: str = "float64"
     # Linear-system strategy (maps the reference's LinearSolver backends onto
-    # the two TPU-native paths): "auto" | "direct" (batched dense
-    # Cholesky) | "indirect" (matrix-free CG).
+    # the TPU-native paths): "auto" | "direct" (batched dense Cholesky) |
+    # "indirect" (matrix-free CG on dense A) | "bell" (matrix-free CG with
+    # block-ELL SpMV — the Pallas sparse path for large sparse problems).
     solver_strategy: str = "auto"
+    # Tile size for the block-ELL pack (bell strategy). 128 matches the
+    # MXU/lane width; smaller tiles only make sense for CPU testing.
+    bell_block_size: int = 128
     # CG controls for the indirect path (reference: linsys/cpu/indirect,
     # tolerance tightened per-iteration at rate cg_rate).
     cg_rate: float = 2.0
@@ -140,8 +144,11 @@ class Settings:
             _err("rho_x must be a positive finite number")
         if self.dtype not in ("float64", "float32"):
             _err("dtype must be 'float64' or 'float32'")
-        if self.solver_strategy not in ("auto", "direct", "indirect"):
-            _err("solver_strategy must be 'auto', 'direct' or 'indirect'")
+        if self.solver_strategy not in ("auto", "direct", "indirect", "bell"):
+            _err(
+                "solver_strategy must be 'auto', 'direct', 'indirect' or"
+                " 'bell' (block-ELL matrix-free)"
+            )
 
     @classmethod
     def from_kwargs(cls, **kwargs) -> "Settings":

@@ -67,11 +67,25 @@ from .settings import Settings
 ZERO_CONE_RY_FACTOR = 1e-3  # zero-cone rows get rho_y = factor / scale
 
 
+class BellData(NamedTuple):
+    """Block-ELL operator data for the matrix-free "bell" strategy (the
+    Pallas SpMV path, SURVEY.md §7 step 7). A and the pre-transposed A^T
+    are packed into dense (bs x bs) tiles; colsq_* feed the Jacobi
+    preconditioner without materializing dense A on device."""
+
+    A_blocks: jnp.ndarray  # (nbr, wA, bs, bs)
+    A_cols: jnp.ndarray  # (nbr, wA) int32 block-column ids
+    At_blocks: jnp.ndarray  # (nbc, wAt, bs, bs)
+    At_cols: jnp.ndarray  # (nbc, wAt)
+    colsq_all: jnp.ndarray  # (n,) sum_i A_ij^2
+    colsq_zero: jnp.ndarray  # (n,) sum over zero-cone rows of A_ij^2
+
+
 class Mats(NamedTuple):
     """Dynamic problem data (normalized). Passing these as arguments (not
     closures) lets compiled code be reused across b/c updates."""
 
-    A: jnp.ndarray  # (m, n)
+    A: jnp.ndarray  # (m, n); zeros-shaped (0, 0) under the bell strategy
     P: jnp.ndarray  # (n, n); zeros-shaped (0,0) when absent
     bn: jnp.ndarray  # (m,)
     cn: jnp.ndarray  # (n,)
@@ -84,6 +98,7 @@ class Mats(NamedTuple):
     sc_c: jnp.ndarray  # scalar
     norm_b: jnp.ndarray  # ||b|| original
     norm_c: jnp.ndarray  # ||c|| original
+    bell: Optional[BellData] = None  # block-ELL pack (bell strategy only)
 
 
 class AAState(NamedTuple):
@@ -159,7 +174,9 @@ class Core:
         self.dtype = jnp.float64 if stg.dtype == "float64" else jnp.float32
         self.spec = spec
         self.zero_mask = jnp.asarray(spec.zero_row_mask())
-        self.indirect = stg.solver_strategy == "indirect"
+        self.strategy = stg.solver_strategy
+        self.indirect = stg.solver_strategy in ("indirect", "bell")
+        self.use_bell = stg.solver_strategy == "bell"
         # Primal cone projector (structure-cached); the y block uses the
         # dual cone via Moreau. Box bounds enter dynamically (normalized).
         self._proj = get_projector(spec, self.dtype)
@@ -184,6 +201,40 @@ class Core:
         base = 1.0 / scale
         return jnp.where(self.zero_mask, ZERO_CONE_RY_FACTOR * base, base)
 
+    def _Ax(self, mats: Mats, x):
+        """A @ x — dense matmul or block-ELL SpMV (Pallas on TPU)."""
+        if not self.use_bell:
+            return mats.A @ x
+        from .ops.sparse import bell_spmv, bell_spmv_ref  # noqa: PLC0415
+
+        bell = mats.bell
+        bs = bell.A_blocks.shape[-1]
+        n_pad = bell.At_blocks.shape[0] * bs
+        x_pad = jnp.zeros(n_pad, x.dtype).at[: self.n].set(x)
+        f = bell_spmv if self._pallas_ok() else bell_spmv_ref
+        return f(bell.A_blocks, bell.A_cols, x_pad)[: self.m]
+
+    def _ATy(self, mats: Mats, y):
+        """A^T @ y — dense matmul or block-ELL SpMV of the pre-transposed
+        pack (the reference GPU backend's gpu_atrans idea)."""
+        if not self.use_bell:
+            return mats.A.T @ y
+        from .ops.sparse import bell_spmv, bell_spmv_ref  # noqa: PLC0415
+
+        bell = mats.bell
+        bs = bell.At_blocks.shape[-1]
+        m_pad = bell.A_blocks.shape[0] * bs
+        y_pad = jnp.zeros(m_pad, y.dtype).at[: self.m].set(y)
+        f = bell_spmv if self._pallas_ok() else bell_spmv_ref
+        return f(bell.At_blocks, bell.At_cols, y_pad)[: self.n]
+
+    @staticmethod
+    def _pallas_ok():
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
+
     def _build_S(self, mats: Mats, dy):
         A = mats.A
         S = (mats.A.T * dy[None, :]) @ A
@@ -193,19 +244,36 @@ class Core:
         return S
 
     def _matvec_S(self, mats: Mats, dy, x):
-        out = self.stg.rho_x * x + mats.A.T @ (dy * (mats.A @ x))
+        out = self.stg.rho_x * x + self._ATy(mats, dy * self._Ax(mats, x))
         if self.has_P:
             out = out + mats.P @ x
         return out
 
-    def _cg(self, mats, dy, rhs, x0, tol):
+    def _diagS(self, mats: Mats, dy, scale):
+        """diag(S) for the Jacobi preconditioner."""
+        if self.use_bell:
+            # dy takes exactly two values (see _ry): scale on ordinary
+            # rows, scale/ZERO_CONE_RY_FACTOR on zero-cone rows — so the
+            # weighted column sums reduce to two precomputed vectors.
+            bell = mats.bell
+            diagS = (
+                self.stg.rho_x
+                + scale * (bell.colsq_all - bell.colsq_zero)
+                + (scale / ZERO_CONE_RY_FACTOR) * bell.colsq_zero
+            )
+        else:
+            diagS = self.stg.rho_x + jnp.sum(
+                mats.A * mats.A * dy[:, None], axis=0
+            )
+        if self.has_P:
+            diagS = diagS + jnp.diagonal(mats.P)
+        return diagS
+
+    def _cg(self, mats, dy, rhs, x0, tol, scale):
         """Jacobi-preconditioned CG on S x = rhs (indirect strategy;
         reference: linsys/cpu/indirect/private.c, tolerance schedule per
         the 'cg_rate'/'avg cg its' log lines)."""
-        diagS = self.stg.rho_x + jnp.sum(mats.A * mats.A * dy[:, None], axis=0)
-        if self.has_P:
-            diagS = diagS + jnp.diagonal(mats.P)
-        Minv = 1.0 / diagS
+        Minv = 1.0 / self._diagS(mats, dy, scale)
 
         def mv(x):
             return self._matvec_S(mats, dy, x)
@@ -238,7 +306,7 @@ class Core:
         """Solve S x = rhs with the active strategy. Returns (x, cg_iters)."""
         if self.indirect:
             dy = 1.0 / self._ry(state.scale)
-            return self._cg(mats, dy, rhs, state.px_warm, tol)
+            return self._cg(mats, dy, rhs, state.px_warm, tol, state.scale)
         x = jax.scipy.linalg.cho_solve((state.L, True), rhs)
         return x, jnp.int32(0)
 
@@ -250,9 +318,10 @@ class Core:
         dy = 1.0 / ry
         if self.indirect:
             L = jnp.zeros((0, 0), self.dtype)
-            rhs = mats.cn - mats.A.T @ (dy * mats.bn)
+            rhs = mats.cn - self._ATy(mats, dy * mats.bn)
             gx, _ = self._cg(
-                mats, dy, rhs, jnp.zeros(self.n, self.dtype), self.stg.cg_tol_min * 10
+                mats, dy, rhs, jnp.zeros(self.n, self.dtype),
+                self.stg.cg_tol_min * 10, scale,
             )
         else:
             S = self._build_S(mats, dy)
@@ -260,7 +329,7 @@ class Core:
             gx = jax.scipy.linalg.cho_solve(
                 (L, True), mats.cn - mats.A.T @ (dy * mats.bn)
             )
-        gy = dy * (mats.bn + mats.A @ gx)
+        gy = dy * (mats.bn + self._Ax(mats, gx))
         return L, gx, gy
 
     def _init_pure(self, mats: Mats):
@@ -336,12 +405,19 @@ class Core:
         ry = self._ry(state.scale)
         dy = 1.0 / ry
 
+        rhs = stg.rho_x * wx - self._ATy(mats, wy)
+        # CG tolerance: relative to ||rhs|| (residual and rhs live in the
+        # same units — using the iterate norm instead lets a loose solve
+        # bias the DR map persistently once adaptive scaling shrinks the
+        # S metric), tightening as it^-cg_rate like the reference's
+        # indirect backend ('cg_rate: 2.00' in its verbose log).
         tol = jnp.maximum(
             stg.cg_tol_min,
-            jnp.linalg.norm(wx) * (state.it.astype(self.dtype) + 1.0) ** (-stg.cg_rate),
+            jnp.linalg.norm(rhs)
+            * (state.it.astype(self.dtype) + 1.0) ** (-stg.cg_rate),
         )
-        px, cg_k = self._lin_solve(state, mats, stg.rho_x * wx - mats.A.T @ wy, tol)
-        py = wy + dy * (mats.A @ px)
+        px, cg_k = self._lin_solve(state, mats, rhs, tol)
+        py = wy + dy * self._Ax(mats, px)
 
         gx, gy = state.gx, state.gy
         a = 1.0 + stg.rho_x * jnp.dot(gx, gx) + jnp.dot(gy * ry, gy)
@@ -524,8 +600,8 @@ class Core:
         ry = self._ry(state.scale)
         st_hat = ry * v[n : n + m]  # = tau * normalized slack
 
-        Axb = mats.A @ xbar
-        Aty = mats.A.T @ ybar
+        Axb = self._Ax(mats, xbar)
+        Aty = self._ATy(mats, ybar)
         Pxb = mats.P @ xbar if self.has_P else jnp.zeros_like(xbar)
 
         Dinv = 1.0 / mats.D
