@@ -18,12 +18,13 @@ import jax as _jax
 # in float32 when requested via Settings.dtype.
 _jax.config.update("jax_enable_x64", True)
 
-# On TPU, float32 matmuls default to bfloat16 MXU passes (~1e-2 relative
-# error) — fatal for an iterative solver whose linear projection must be
-# accurate to ~1e-6 (the DR iteration stalls at the matmul noise floor;
-# measured: the bench QP plateaus at res~0.3 under default precision and
-# solves in 250 iters at "highest"). Force full-f32 (6-pass) matmuls.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE on matmul precision: on TPU, float32 matmuls default to bfloat16 MXU
+# passes (~1e-2 relative error) — fatal for an iterative solver whose linear
+# projection must be accurate to ~1e-6 (the DR iteration stalls at the matmul
+# noise floor). The solver pins "highest" precision at TRACE time inside its
+# own compiled functions (solver._hp) rather than mutating the process-global
+# jax_default_matmul_precision config, so host applications embedding the
+# solver keep their own matmul precision/perf trade-offs.
 
 __version__ = "1.0.0"  # framework version; tracks reference capability 3.2.11
 

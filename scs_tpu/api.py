@@ -116,7 +116,10 @@ class SCS:
         if A is None or b is None or c is None:
             raise ValueError("Incomplete data specification")
 
-        dense_ok = settings.pop("allow_dense_input", True)
+        # Reference parity: dense (ndarray) A raises TypeError
+        # (scs/py/__init__.py:117-118). Opt in to the TPU-native dense
+        # fast path with allow_dense_input=True.
+        dense_ok = settings.pop("allow_dense_input", False)
         if not sparse.issparse(A):
             if not dense_ok or not isinstance(A, np.ndarray):
                 raise TypeError("A is required to be a sparse matrix")

@@ -23,7 +23,7 @@ from . import info as info_mod
 from .cones import ConeSpec
 from .normalize import identity_scaling, ruiz_equilibrate
 from .settings import Settings
-from .solver import Mats, get_core
+from .solver import Mats, _hp, get_core
 from .info import UNFINISHED
 
 
@@ -133,9 +133,9 @@ class BatchedSCS:
 
             return lax.while_loop(cond, body, states)
 
-        self._vinit = jax.jit(jax.vmap(core._init_pure))
-        self._vrun = jax.jit(run_all, static_argnums=(2,))
-        self._vfinalize = jax.jit(jax.vmap(core._finalize))
+        self._vinit = jax.jit(_hp(jax.vmap(core._init_pure)))
+        self._vrun = jax.jit(_hp(run_all), static_argnums=(2,))
+        self._vfinalize = jax.jit(_hp(jax.vmap(core._finalize)))
         self._states = self._vinit(self.mats)
         jax.block_until_ready(self._states.gx)
         self._setup_time = time.perf_counter() - t0

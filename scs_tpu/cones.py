@@ -211,10 +211,17 @@ class ConeSpec:
         ed = _parse_nonneg_int("ed", cone.get("ed", 0))
         p = tuple(float(v) for v in _parse_float_array("p", cone.get("p")))
         for pi in p:
-            if not (-1.0 <= pi <= 1.0) or pi == 0.0:
-                # power cone parameter a in (0,1); negative = dual cone
-                if abs(pi) > 1.0:
-                    raise ValueError("power cone parameters must be in [-1, 1]")
+            # Power-cone parameter a = |p| must lie strictly inside (0, 1)
+            # (sign selects primal vs dual, gen_random_cone_prob.py:90-130).
+            # The reference C parser accepts the degenerate endpoints
+            # p in {0, +-1} (scs validates only |p| <= 1) but its Newton
+            # projection is undefined there; we reject them up front so a
+            # degenerate parameter can never reach the projector.
+            if not np.isfinite(pi) or not (0.0 < abs(pi) < 1.0):
+                raise ValueError(
+                    "power cone parameters must satisfy 0 < |p| < 1 "
+                    f"(got {pi!r}; negative p selects the dual cone)"
+                )
 
         d = tuple(_parse_int_array("d", cone.get("d")))
         nuc_m = _parse_int_array("nuc_m", cone.get("nuc_m"))

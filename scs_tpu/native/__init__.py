@@ -34,28 +34,30 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 
 def _build():
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-fno-math-errno", "-funroll-loops",
-        _SRC, "-o", _SO + ".tmp",
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + ".tmp", _SO)
+    # Build to a process-unique temp name, then atomically install: two
+    # processes importing concurrently (parallel pytest workers) would
+    # otherwise interleave g++ output into one shared ".tmp" path and
+    # os.replace could install a corrupt .so (ADVICE r1).
+    import tempfile
 
-
-def _load():
-    global _lib, available
-    if _lib is not None:
-        return _lib
+    fd, tmp = tempfile.mkstemp(suffix=".so", prefix="_scs_native_", dir=_DIR)
+    os.close(fd)
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
-    except Exception:
-        available = False
-        return None
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-fno-math-errno", "-funroll-loops",
+            _SRC, "-o", tmp,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
+
+def _bind(lib):
+    """Declare ctypes signatures. Raises AttributeError if the .so is a
+    stale build missing a symbol — callers treat that as 'rebuild'."""
     lib.csc_has_lower_tri.restype = ctypes.c_int64
     lib.csc_has_lower_tri.argtypes = [_i64p, _i64p, ctypes.c_int64]
     lib.csc_validate.restype = ctypes.c_int64
@@ -85,6 +87,27 @@ def _load():
     lib.read_problem_header.argtypes = [
         ctypes.c_char_p, _i64p, _i64p, _i64p, _i64p, _i64p]
     lib.read_problem_body.restype = ctypes.c_int64
+
+
+def _load():
+    global _lib, available
+    if _lib is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        try:
+            _bind(lib)
+        except AttributeError:
+            # stale-but-newer .so missing a symbol: rebuild once, re-bind
+            _build()
+            lib = ctypes.CDLL(_SO)
+            _bind(lib)
+    except Exception:
+        available = False
+        return None
 
     _lib = lib
     available = True

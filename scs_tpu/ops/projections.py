@@ -732,7 +732,10 @@ def make_dual_cone_projector(spec: ConeSpec, dtype=jnp.float64) -> Callable:
     return proj_dual
 
 
+# Bounded LRU (see solver._CORE_CACHE note): cap compiled-projector growth
+# in long-running processes sweeping many cone structures.
 _PROJECTOR_CACHE = {}
+_PROJECTOR_CACHE_MAX = 64
 
 
 def spec_signature(spec: ConeSpec):
@@ -757,6 +760,10 @@ def spec_signature(spec: ConeSpec):
 def get_projector(spec: ConeSpec, dtype=jnp.float64) -> Callable:
     """Cached projector keyed by cone structure (shared across instances)."""
     key = (spec_signature(spec), str(dtype))
-    if key not in _PROJECTOR_CACHE:
+    if key in _PROJECTOR_CACHE:
+        _PROJECTOR_CACHE[key] = _PROJECTOR_CACHE.pop(key)  # refresh LRU
+    else:
+        while len(_PROJECTOR_CACHE) >= _PROJECTOR_CACHE_MAX:
+            _PROJECTOR_CACHE.pop(next(iter(_PROJECTOR_CACHE)))
         _PROJECTOR_CACHE[key] = make_cone_projector(spec, dtype)
     return _PROJECTOR_CACHE[key]

@@ -17,6 +17,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..info import UNFINISHED
+from ..solver import _hp
 
 
 def make_mesh(n_devices=None, axis_name="batch"):
@@ -66,6 +67,6 @@ def sharded_batch_solve(core, mats, mesh, axis_name="batch", max_iters=None):
         return lax.while_loop(cond, lambda s: vchunk(s, mats), states)
 
     sharding = NamedSharding(mesh, P(axis_name))
-    run_jit = jax.jit(run, in_shardings=(jax.tree.map(lambda _: sharding, mats),))
+    run_jit = jax.jit(_hp(run), in_shardings=(jax.tree.map(lambda _: sharding, mats),))
     with mesh:
         return run_jit(mats)

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..solver import _hp
+
 
 def sharded_normal_matvec(A_local, P_mat, dy_local, rho_x, x, axis_name):
     """S x with S = rho_x*I + P + A' diag(dy) A, A row-sharded."""
@@ -124,5 +126,5 @@ def sharded_cg_solve(
 
     args = (A, dy, rhs) + ((P_mat,) if P_mat is not None else ())
     with mesh:
-        x, k = jax.jit(run)(*args)
+        x, k = jax.jit(_hp(run))(*args)
     return x, int(k)

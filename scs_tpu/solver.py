@@ -67,6 +67,24 @@ from .settings import Settings
 ZERO_CONE_RY_FACTOR = 1e-3  # zero-cone rows get rho_y = factor / scale
 
 
+def _hp(fn):
+    """Pin matmul precision to "highest" at trace time for `fn`.
+
+    TPU f32 matmuls default to bfloat16 MXU passes (~1e-2 relative error),
+    which stalls the DR iteration at the matmul noise floor; `highest`
+    lowers them to full-f32 (6-pass) MXU ops. Scoping the context to the
+    solver's own traced bodies (instead of process-global JAX config)
+    leaves the host application's matmul precision untouched.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 class BellData(NamedTuple):
     """Block-ELL operator data for the matrix-free "bell" strategy (the
     Pallas SpMV path, SURVEY.md §7 step 7). A and the pre-transposed A^T
@@ -184,11 +202,10 @@ class Core:
         self.lookback = int(stg.acceleration_lookback)
         self.interval = int(stg.acceleration_interval)
 
-        self._jit_setup = jax.jit(self._setup)
-        self._jit_init = jax.jit(self._init_pure)
-        self._jit_chunk = jax.jit(self._chunk)
-        self._jit_run = jax.jit(self._run, static_argnums=(2,))
-        self._jit_finalize = jax.jit(self._finalize)
+        self._jit_init = jax.jit(_hp(self._init_pure))
+        self._jit_chunk = jax.jit(_hp(self._chunk))
+        self._jit_run = jax.jit(_hp(self._run), static_argnums=(2,))
+        self._jit_finalize = jax.jit(_hp(self._finalize))
 
     # -- cone handling ----------------------------------------------------
 
@@ -915,7 +932,11 @@ class Core:
         return x, y, s, x_cert, y_cert, s_cert, relaxed, diag
 
 
+# Bounded LRU of compiled cores: a long-running parametric-sweep process
+# would otherwise accumulate compiled executables without limit (one Core
+# per distinct (shape, cone structure, settings) tuple).
 _CORE_CACHE = {}
+_CORE_CACHE_MAX = 32
 
 
 def get_core(m, n, has_P, spec: ConeSpec, stg: Settings) -> Core:
@@ -945,6 +966,10 @@ def get_core(m, n, has_P, spec: ConeSpec, stg: Settings) -> Core:
         stg.cg_rate,
         stg.cg_max_iters,
     )
-    if key not in _CORE_CACHE:
+    if key in _CORE_CACHE:
+        _CORE_CACHE[key] = _CORE_CACHE.pop(key)  # refresh LRU position
+    else:
+        while len(_CORE_CACHE) >= _CORE_CACHE_MAX:
+            _CORE_CACHE.pop(next(iter(_CORE_CACHE)))
         _CORE_CACHE[key] = Core(m, n, has_P, spec, stg)
     return _CORE_CACHE[key]

@@ -216,6 +216,33 @@ def test_validation_errors():
         scs.SCS({"A": A, "b": b, "c": c}, {"l": 2}, bogus_setting=1)
 
 
+def test_dense_A_rejected_by_default():
+    # reference parity: a dense ndarray A raises TypeError unless the
+    # TPU-native extension allow_dense_input=True is requested
+    # (reference scs/py/__init__.py:117-118)
+    Ad = np.array([[1.0], [-1.0]])
+    b = np.array([1.0, 0.0])
+    c = np.array([-1.0])
+    with pytest.raises(TypeError):
+        scs.SCS({"A": Ad, "b": b, "c": c}, {"l": 2})
+    sol = scs.SCS(
+        {"A": Ad, "b": b, "c": c}, {"l": 2},
+        allow_dense_input=True, verbose=False,
+    ).solve()
+    assert sol["info"]["status"] == "solved"
+
+
+def test_power_cone_param_validation():
+    # degenerate power parameters p in {0, +-1} (and |p|>1, non-finite)
+    # are rejected up front — the Newton projector is undefined there
+    A = sp.csc_matrix(np.eye(3))
+    b = np.zeros(3)
+    c = np.ones(3)
+    for bad in (0.0, 1.0, -1.0, 1.5, -2.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError):
+            scs.SCS({"A": A, "b": b, "c": c}, {"p": [bad]}, verbose=False)
+
+
 def test_aa_off_stats():
     # AA disabled: all-zero counters + NaN last_aa_norm
     # (reference: test_scs_coverage.py:1320-1330)
