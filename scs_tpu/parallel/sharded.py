@@ -1,0 +1,127 @@
+"""Single-problem solve with the constraint matrix row-sharded across a
+device mesh — the TPU-native replacement for the reference's multithreaded
+sparse direct backend on ONE giant problem (SURVEY.md §2.4 "TPU mapping":
+row-block-sharded A + psum-CG over ICI replaces multithreaded Pardiso,
+meson.build:315-348).
+
+Design: the full DR loop (linear projection, cone projection, Anderson
+acceleration, residuals, adaptive rescale) runs as ONE jit-compiled
+program under the mesh. Only `A` carries a non-trivial sharding
+(PartitionSpec('rows', None)); every iterate vector is replicated. XLA's
+SPMD partitioner then places the collectives exactly where the math needs
+them: `A @ x` computes local row blocks (no communication), `A.T @ y`
+reduces partial (n,)-results with an all-reduce that rides the ICI ring —
+the same communication pattern as `sharded_cg.sharded_cg_solve`, but
+integrated into the solver instead of a standalone kernel.
+
+The memory object that makes a problem "too big for one chip" is A itself
+(m x n); sharding it divides per-chip HBM by the mesh size while iterate
+vectors (O(m + n)) stay replicated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse as _sp
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..api import SCS
+from .mesh import make_mesh
+
+
+class ShardedSCS(SCS):
+    """SCS solver for one problem with A row-sharded over a mesh.
+
+    Parameters are those of `SCS`, plus:
+      mesh: a 1-D `jax.sharding.Mesh` (axis: rows). Defaults to all
+            visible devices.
+
+    The row dimension is padded to a multiple of the mesh size by
+    PREPENDING rows to the zero cone (A rows and b entries of zeros — the
+    constraint 0 = 0, decoupled from the problem); padding is stripped
+    from y and s on output.
+    """
+
+    def __init__(self, data, cone, mesh=None, **settings):
+        if mesh is None:
+            mesh = make_mesh(axis_name="rows")
+        if len(mesh.axis_names) != 1:
+            raise ValueError("ShardedSCS expects a 1-D mesh")
+        self.mesh = mesh
+        self._rows_axis = mesh.axis_names[0]
+        n_dev = int(np.prod(list(mesh.shape.values())))
+
+        # matrix-free CG is the strategy that shards: no (n, n) dense
+        # factor, and every operator touch is an A / A^T matvec
+        strategy = settings.setdefault("solver_strategy", "indirect")
+        if strategy not in ("indirect", "bell"):
+            raise ValueError(
+                "ShardedSCS requires a matrix-free strategy ('indirect')"
+            )
+
+        b = np.asarray(
+            data["b"].todense() if _sp.issparse(data["b"]) else data["b"],
+            np.float64,
+        ).ravel()
+        pad = (-len(b)) % n_dev
+        self._row_pad = pad
+        if pad:
+            data = dict(data)
+            cone = dict(cone)
+            A = data["A"]
+            if _sp.issparse(A):
+                A = _sp.vstack(
+                    [_sp.csc_matrix((pad, A.shape[1])), A.tocsc()]
+                ).tocsc()
+            else:
+                A = np.vstack([np.zeros((pad, np.shape(A)[1])), np.asarray(A)])
+            data["A"] = A
+            data["b"] = np.concatenate([np.zeros(pad), b])
+            cone["z"] = int(cone.get("z", 0)) + pad
+
+        super().__init__(data, cone, **settings)
+
+        # place the operator: A row-sharded, everything else replicated
+        row = NamedSharding(mesh, P(self._rows_axis, None))
+        rep = NamedSharding(mesh, P())
+        self.mats = self.mats._replace(
+            A=jax.device_put(self.mats.A, row),
+            **{
+                f: jax.device_put(getattr(self.mats, f), rep)
+                for f in ("P", "bn", "cn", "bl", "bu", "D", "E")
+            },
+        )
+        # re-run setup with the sharded operator so gx/gy (and any state
+        # the factorization holds) are computed under the mesh layout
+        with self.mesh:
+            self._state0 = self.core.init_state(self.mats)
+            _ = self._state0.gx.block_until_ready()
+
+    def _update_locked(self, b=None, c=None):
+        if b is not None and self._row_pad:
+            b = np.concatenate(
+                [np.zeros(self._row_pad), np.asarray(b, np.float64).ravel()]
+            )
+        with self.mesh:
+            out = super()._update_locked(b, c)
+        rep = NamedSharding(self.mesh, P())
+        self.mats = self.mats._replace(
+            bn=jax.device_put(self.mats.bn, rep),
+            cn=jax.device_put(self.mats.cn, rep),
+        )
+        return out
+
+    def _solve_locked(self, warm_start, x, y, s):
+        if y is not None and self._row_pad:
+            y = np.concatenate([np.zeros(self._row_pad), np.asarray(y).ravel()])
+        if s is not None and self._row_pad:
+            s = np.concatenate([np.zeros(self._row_pad), np.asarray(s).ravel()])
+        with self.mesh:
+            out = super()._solve_locked(warm_start, x, y, s)
+        pad = self._row_pad
+        if pad:
+            out["y"] = out["y"][pad:]
+            out["s"] = out["s"][pad:]
+        return out

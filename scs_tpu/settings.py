@@ -97,6 +97,11 @@ class Settings:
     # checks (verbose print, time limit, SIGINT). Residual/termination checks
     # happen on device at this granularity too.
     check_interval: int = 25
+    # Per-phase timing (info dict lin_sys_time/cone_time/accel_time).
+    # "auto": measure (once per compiled core, via standalone jitted phase
+    # functions timed on device) when the solve is verbose or expensive
+    # enough to amortize the calibration compile; "always" / "off" force it.
+    phase_timing: str = "auto"
     # AA safeguarding: accept a candidate if its fixed-point residual is at
     # most aa_safeguard_factor x the current one; optionally clear the AA
     # memory after a rejection (the rejected direction stays poisonous
@@ -144,6 +149,8 @@ class Settings:
             _err("rho_x must be a positive finite number")
         if self.dtype not in ("float64", "float32"):
             _err("dtype must be 'float64' or 'float32'")
+        if self.phase_timing not in ("auto", "always", "off"):
+            _err("phase_timing must be 'auto', 'always' or 'off'")
         if self.solver_strategy not in ("auto", "direct", "indirect", "bell"):
             _err(
                 "solver_strategy must be 'auto', 'direct', 'indirect' or"

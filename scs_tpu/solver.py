@@ -144,6 +144,27 @@ class Diag(NamedTuple):
     res_unbdd_a: jnp.ndarray
     res_unbdd_p: jnp.ndarray
     comp_slack: jnp.ndarray
+    # homogeneous (not tau-divided) residual norms in ORIGINAL units —
+    # the reference CSV's ax_s_btau_nrm_* / px_aty_ctau_nrm_* columns
+    # (column schema: notebooks/analyze_csv_logs.ipynb cell 3)
+    ax_s_btau_2: jnp.ndarray
+    ax_s_btau_inf: jnp.ndarray
+    px_aty_ctau_2: jnp.ndarray
+    px_aty_ctau_inf: jnp.ndarray
+    # the same quantities measured on the NORMALIZED (equilibrated) data —
+    # the reference CSV's *_normalized columns
+    res_pri_norm: jnp.ndarray
+    res_dual_norm: jnp.ndarray
+    gap_norm: jnp.ndarray
+    pobj_norm: jnp.ndarray
+    dobj_norm: jnp.ndarray
+    ax_s_btau_2_norm: jnp.ndarray
+    ax_s_btau_inf_norm: jnp.ndarray
+    px_aty_ctau_2_norm: jnp.ndarray
+    px_aty_ctau_inf_norm: jnp.ndarray
+    res_infeas_norm: jnp.ndarray
+    res_unbdd_a_norm: jnp.ndarray
+    res_unbdd_p_norm: jnp.ndarray
 
 
 class State(NamedTuple):
@@ -174,6 +195,12 @@ class State(NamedTuple):
     scale_updates: jnp.ndarray  # i32
     since_rescale: jnp.ndarray  # i32
     cg_iters: jnp.ndarray  # i32 cumulative CG iterations (indirect)
+    # per-step movement diagnostics (reference CSV columns diff_u_ut_nrm_*
+    # / diff_v_v_prev_nrm_*; iterate names per analyze_csv_logs.ipynb)
+    diff_u_ut_2: jnp.ndarray
+    diff_u_ut_inf: jnp.ndarray
+    diff_v_2: jnp.ndarray
+    diff_v_inf: jnp.ndarray
     diag: Diag
     aa: AAState
 
@@ -206,6 +233,7 @@ class Core:
         self._jit_chunk = jax.jit(_hp(self._chunk))
         self._jit_run = jax.jit(_hp(self._run), static_argnums=(2,))
         self._jit_finalize = jax.jit(_hp(self._finalize))
+        self._phase_cache = None
 
     # -- cone handling ----------------------------------------------------
 
@@ -373,7 +401,7 @@ class Core:
             aa_iter=jnp.int32(0),
         )
         nanv = jnp.asarray(jnp.nan, self.dtype)
-        diag = Diag(*([nanv] * 9))
+        diag = Diag(*([nanv] * len(Diag._fields)))
         return State(
             w=w,
             u=u,
@@ -391,6 +419,10 @@ class Core:
             scale_updates=jnp.int32(0),
             since_rescale=jnp.int32(0),
             cg_iters=jnp.int32(0),
+            diff_u_ut_2=nanv,
+            diff_u_ut_inf=nanv,
+            diff_v_2=nanv,
+            diff_v_inf=nanv,
             diag=diag,
             aa=aa,
         )
@@ -423,15 +455,28 @@ class Core:
         dy = 1.0 / ry
 
         rhs = stg.rho_x * wx - self._ATy(mats, wy)
-        # CG tolerance: relative to ||rhs|| (residual and rhs live in the
-        # same units — using the iterate norm instead lets a loose solve
-        # bias the DR map persistently once adaptive scaling shrinks the
-        # S metric), tightening as it^-cg_rate like the reference's
-        # indirect backend ('cg_rate: 2.00' in its verbose log).
+        # CG tolerance (inexact-Krylov schedule): for the DR iteration's
+        # linear convergence to survive inexact solves, the solve error
+        # must shrink WITH the fixed-point residual — so the tolerance
+        # tracks the previous DR step size ||u - u_t|| (available in the
+        # state diagnostics), capped at 1e-3*||rhs|| so the very first
+        # solves are never junk (an ~O(1)-relative first solve both slows
+        # cold starts ~3x and destroys warm starts). The (it+1)^-cg_rate
+        # term mirrors the reference indirect backend's schedule
+        # ('cg_rate: 2.00' in its verbose log) as an additional tightener.
+        # CG warm-starts from the previous solution (px_warm), so a tight
+        # tolerance costs few extra iterations in the converged tail —
+        # the reference logs 'avg cg its: 9.73' in the same regime.
+        it_f = state.it.astype(self.dtype) + 1.0
+        prev_step = jnp.where(
+            jnp.isfinite(state.diff_u_ut_2), state.diff_u_ut_2, 1.0
+        )
         tol = jnp.maximum(
             stg.cg_tol_min,
-            jnp.linalg.norm(rhs)
-            * (state.it.astype(self.dtype) + 1.0) ** (-stg.cg_rate),
+            jnp.minimum(
+                1e-3 * jnp.linalg.norm(rhs),
+                0.1 * prev_step * jnp.minimum(1.0, it_f ** (-stg.cg_rate) * 1e3),
+            ),
         )
         px, cg_k = self._lin_solve(state, mats, rhs, tol)
         py = wy + dy * self._Ax(mats, px)
@@ -461,12 +506,18 @@ class Core:
         w_new = w + stg.alpha * (u_new - ut)
         v_new = w_new - u_new
 
+        du = u_new - ut
+        dv = v_new - state.v
         return state._replace(
             w=w_new,
             u=u_new,
             v=v_new,
             px_warm=px,
             cg_iters=state.cg_iters + cg_k,
+            diff_u_ut_2=jnp.linalg.norm(du),
+            diff_u_ut_inf=jnp.max(jnp.abs(du)),
+            diff_v_2=jnp.linalg.norm(dv),
+            diff_v_inf=jnp.max(jnp.abs(dv)),
         )
 
     # -- Anderson acceleration (reference: src/aa.c; README AA table) ------
@@ -628,10 +679,23 @@ class Core:
         safe_tau = jnp.maximum(tau, 1e-300)
 
         # --- primal/dual residuals (un-normalized, divided by tau)
-        rp_vec = Dinv * (Axb + st_hat - mats.bn * tau) / (sc_b * safe_tau)
-        rd_vec = Einv * (Pxb + Aty + mats.cn * tau) / (sc_c * safe_tau)
+        rp_hat = Axb + st_hat - mats.bn * tau  # normalized, homogeneous
+        rd_hat = Pxb + Aty + mats.cn * tau
+        rp_vec = Dinv * rp_hat / (sc_b * safe_tau)
+        rd_vec = Einv * rd_hat / (sc_c * safe_tau)
         res_pri = jnp.linalg.norm(rp_vec)
         res_dual = jnp.linalg.norm(rd_vec)
+
+        # homogeneous residual norms, original units (CSV ax_s_btau_nrm_*)
+        ax_s_btau_2 = res_pri * safe_tau
+        ax_s_btau_inf = jnp.max(jnp.abs(rp_vec)) * safe_tau
+        px_aty_ctau_2 = res_dual * safe_tau
+        px_aty_ctau_inf = jnp.max(jnp.abs(rd_vec)) * safe_tau
+        # normalized-space variants (equilibrated data, CSV *_normalized)
+        ax2_n = jnp.linalg.norm(rp_hat)
+        axinf_n = jnp.max(jnp.abs(rp_hat))
+        px2_n = jnp.linalg.norm(rd_hat)
+        pxinf_n = jnp.max(jnp.abs(rd_hat))
 
         nAx = jnp.linalg.norm(Dinv * Axb) / (sc_b * safe_tau)
         ns = jnp.linalg.norm(Dinv * st_hat) / (sc_b * safe_tau)
@@ -668,6 +732,35 @@ class Core:
             jnp.inf,
         ) if self.has_P else jnp.where(ctx_raw < 0, 0.0, jnp.inf)
 
+        # --- normalized-space (equilibrated data) diagnostics. After
+        # equilibration ||bn|| = ||cn|| = 1, so the certificate residuals
+        # need no norm factors.
+        ctx_hat = jnp.dot(mats.cn, xbar)
+        bty_hat = jnp.dot(mats.bn, ybar)
+        xPx_hat = jnp.dot(xbar, Pxb)
+        res_pri_norm = ax2_n / safe_tau
+        res_dual_norm = px2_n / safe_tau
+        pobj_norm = 0.5 * xPx_hat / safe_tau**2 + ctx_hat / safe_tau
+        dobj_norm = -0.5 * xPx_hat / safe_tau**2 - bty_hat / safe_tau
+        gap_norm = jnp.abs(
+            xPx_hat / safe_tau**2 + ctx_hat / safe_tau + bty_hat / safe_tau
+        )
+        res_infeas_norm = jnp.where(
+            bty_hat < 0,
+            jnp.linalg.norm(Aty) / jnp.maximum(-bty_hat, 1e-300),
+            jnp.inf,
+        )
+        res_unbdd_a_norm = jnp.where(
+            ctx_hat < 0,
+            jnp.linalg.norm(Axb + st_hat) / jnp.maximum(-ctx_hat, 1e-300),
+            jnp.inf,
+        )
+        res_unbdd_p_norm = jnp.where(
+            ctx_hat < 0,
+            jnp.linalg.norm(Pxb) / jnp.maximum(-ctx_hat, 1e-300),
+            jnp.inf,
+        ) if self.has_P else jnp.where(ctx_hat < 0, 0.0, jnp.inf)
+
         diag = Diag(
             res_pri=res_pri,
             res_dual=res_dual,
@@ -678,6 +771,22 @@ class Core:
             res_unbdd_a=res_unbdd_a,
             res_unbdd_p=res_unbdd_p,
             comp_slack=comp_slack,
+            ax_s_btau_2=ax_s_btau_2,
+            ax_s_btau_inf=ax_s_btau_inf,
+            px_aty_ctau_2=px_aty_ctau_2,
+            px_aty_ctau_inf=px_aty_ctau_inf,
+            res_pri_norm=res_pri_norm,
+            res_dual_norm=res_dual_norm,
+            gap_norm=gap_norm,
+            pobj_norm=pobj_norm,
+            dobj_norm=dobj_norm,
+            ax_s_btau_2_norm=ax2_n,
+            ax_s_btau_inf_norm=axinf_n,
+            px_aty_ctau_2_norm=px2_n,
+            px_aty_ctau_inf_norm=pxinf_n,
+            res_infeas_norm=res_infeas_norm,
+            res_unbdd_a_norm=res_unbdd_a_norm,
+            res_unbdd_p_norm=res_unbdd_p_norm,
         )
         denoms = (nAx, ns, nPx, nAty)
         return diag, denoms, (ctx, bty, xPx)
@@ -930,6 +1039,72 @@ class Core:
             diag, denoms, scalars, mats.norm_b, mats.norm_c, eps_mult=1e3
         )
         return x, y, s, x_cert, y_cert, s_cert, relaxed, diag
+
+    # -- per-phase timing calibration ---------------------------------------
+
+    def phase_times(self, state: State, mats: Mats):
+        """Measured per-call device time of each solver phase, in seconds.
+
+        XLA fuses the whole iteration into one compiled program, so the
+        reference's inline wall-clock timers (scs/scsobject.h:1088-1092)
+        have no direct analogue on TPU. Instead each phase is jit-compiled
+        standalone at the TRUE problem shapes/strategy and timed on device;
+        the caller multiplies by the iteration counts. Cached per Core so
+        repeated solves of the same shape pay the compile once.
+
+        Returns dict(lin_sys=, cone=, accel_trial=) — seconds per call.
+        """
+        if self._phase_cache is not None:
+            return self._phase_cache
+        import time as _time
+
+        n, m = self.n, self.m
+        stg = self.stg
+
+        def lin_fn(state, mats):
+            w = state.w
+            wx, wy = w[:n], w[n : n + m]
+            rhs = stg.rho_x * wx - self._ATy(mats, wy)
+            tol = jnp.maximum(
+                stg.cg_tol_min,
+                jnp.linalg.norm(rhs)
+                * (state.it.astype(self.dtype) + 1.0) ** (-stg.cg_rate),
+            )
+            return self._lin_solve(state, mats, rhs, tol)[0]
+
+        def cone_fn(state, mats):
+            r = state.w[n : n + m]
+            return r + self._proj_with_bounds(-r, mats.bl, mats.bu)
+
+        def aa_fn(state, mats):
+            cand, gamma, reg = self._aa_candidate(
+                state.aa, state.w, state.aa.f_prev
+            )
+            cand = cand * (
+                jnp.linalg.norm(state.w)
+                / jnp.maximum(jnp.linalg.norm(cand), 1e-300)
+            )
+            # the safeguard evaluates one extra DR step at the candidate —
+            # that cost is genuinely part of the acceleration phase here
+            return self._step(state._replace(w=cand), mats).w
+
+        def measure(fn):
+            j = jax.jit(_hp(fn))
+            out = j(state, mats)
+            jax.block_until_ready(out)
+            reps = 5
+            t0 = _time.perf_counter()
+            for _ in range(reps):
+                out = j(state, mats)
+            jax.block_until_ready(out)
+            return (_time.perf_counter() - t0) / reps
+
+        self._phase_cache = {
+            "lin_sys": measure(lin_fn),
+            "cone": measure(cone_fn),
+            "accel_trial": measure(aa_fn) if self.lookback > 0 else 0.0,
+        }
+        return self._phase_cache
 
 
 # Bounded LRU of compiled cores: a long-running parametric-sweep process

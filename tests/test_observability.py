@@ -1,0 +1,115 @@
+"""Observability parity: per-iteration CSV trace (reference
+log_csv_filename, 36-column schema from notebooks/analyze_csv_logs.ipynb
+cell 3) and measured per-phase timers (reference scsobject.h:1088-1092)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import scs_tpu as scs
+from scs_tpu.io import CSV_COLUMNS
+
+
+def _qp(seed=0, m=60, n=30):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(m, n)
+    x0 = rng.randn(n)
+    b = A @ x0 + np.abs(rng.randn(m))
+    c = rng.randn(n)
+    G = rng.randn(n, 6)
+    P = 0.1 * G @ G.T + 1e-3 * np.eye(n)
+    return (
+        {
+            "A": sp.csc_matrix(A),
+            "b": b,
+            "c": c,
+            "P": sp.csc_matrix(np.triu(P)),
+        },
+        {"l": m},
+    )
+
+
+def test_csv_log_schema_and_values(tmp_path):
+    """The CSV loads in pandas with the reference schema, and the columns
+    carry DISTINCT true values (round-1 missing #5: 17 of 36 columns were
+    constant 0.0 or duplicates)."""
+    import pandas as pd
+
+    fn = str(tmp_path / "trace.csv")
+    data, cone = _qp()
+    sol = scs.solve(
+        data, cone, verbose=False, log_csv_filename=fn,
+        eps_abs=1e-9, eps_rel=1e-9, max_iters=5000,
+    )
+    assert sol["info"]["status"] == "solved"
+    df = pd.read_csv(fn)
+    # reference writer leaves a trailing comma -> pandas reads an unnamed
+    # extra column; all 36 named columns must be present
+    for col in CSV_COLUMNS:
+        assert col in df.columns, col
+    assert len(df) >= 2
+
+    mid = df.iloc[1:-1]  # rows where the solve is still in progress
+    # residual traces are live (not constant zero)
+    for col in (
+        "res_pri", "res_dual", "gap",
+        "ax_s_btau_nrm_2", "ax_s_btau_nrm_inf",
+        "px_aty_ctau_nrm_2", "px_aty_ctau_nrm_inf",
+        "diff_u_ut_nrm_2", "diff_u_ut_nrm_inf",
+        "diff_v_v_prev_nrm_2", "diff_v_v_prev_nrm_inf",
+        "res_pri_normalized", "res_dual_normalized",
+        "ax_s_btau_nrm_2_normalized", "px_aty_ctau_nrm_2_normalized",
+        "tau", "scale", "time",
+    ):
+        assert np.all(np.asarray(mid[col]) > 0), col
+    # normalized and raw residuals are genuinely different quantities here
+    # (the problem is not pre-equilibrated)
+    assert not np.allclose(mid["res_pri"], mid["res_pri_normalized"])
+    assert not np.allclose(mid["pobj"], mid["pobj_normalized"])
+    # inf-norms are bounded by the 2-norms
+    assert np.all(
+        np.asarray(mid["ax_s_btau_nrm_inf"])
+        <= np.asarray(mid["ax_s_btau_nrm_2"]) + 1e-12
+    )
+    # iteration counter advances monotonically
+    assert np.all(np.diff(df["iter"]) > 0)
+
+
+def test_phase_timers_measured():
+    """phase_timing='always' populates lin_sys/cone/accel times with
+    measured, internally-consistent values (round-1 missing #4)."""
+    data, cone = _qp(seed=1)
+    solver = scs.SCS(
+        data, cone, verbose=False, phase_timing="always",
+        eps_abs=1e-7, eps_rel=1e-7,
+    )
+    sol = solver.solve()
+    info = sol["info"]
+    assert info["lin_sys_time"] > 0
+    assert info["cone_time"] > 0
+    if info["aa_stats"]["iter"] > 0:
+        assert info["accel_time"] > 0
+    # a per-iteration phase cannot exceed a plausible bound of the solve
+    # wall time (calibration runs outside the solve, so allow headroom for
+    # dispatch overhead differences — this is a sanity bound, not equality)
+    assert info["lin_sys_time"] < 100 * max(info["solve_time"], 1e-3)
+
+
+def test_phase_timers_off():
+    data, cone = _qp(seed=2)
+    solver = scs.SCS(
+        data, cone, verbose=False, phase_timing="off",
+        eps_abs=1e-6, eps_rel=1e-6,
+    )
+    info = solver.solve()["info"]
+    assert info["lin_sys_time"] == 0.0
+    assert info["cone_time"] == 0.0
+
+
+def test_verbose_footer_shows_breakdown(capsys):
+    data, cone = _qp(seed=3)
+    solver = scs.SCS(data, cone, verbose=True, eps_abs=1e-6, eps_rel=1e-6)
+    solver.solve()
+    out = capsys.readouterr().out
+    assert "lin-sys:" in out
+    assert "cones:" in out
+    assert "accel:" in out
