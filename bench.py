@@ -1,118 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: batched dense-QP throughput on one TPU chip.
+"""Benchmark entry point (driver contract: prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline", ...}).
 
-Workload: the reference's notebook QP family (dense random QP, n=1000
-variables, m=1500 nonnegative-cone rows — notebooks/scs_qp.ipynb cell 19),
-solved to eps=1e-6 like the notebook run. The reference anchor is the saved
-single-process CPU timing of SCS v3 on that problem: 13.1 s/solve
-(BASELINE.md, cell 19: 225 iters, eps=1e-6, direct). We solve a BATCH of
-independent instances of the same family and report aggregate
-problems/second; vs_baseline = ours / (1/13.1).
-
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The implementation lives in scs_tpu/bench_cli.py (also installed as the
+`scs-tpu-bench` console script). Env knobs: BENCH_BATCH (default 512),
+BENCH_M/BENCH_N (1500/1000), BENCH_EPS (1e-4), BENCH_DTYPE (float32),
+BENCH_CHUNKS (1); BENCH_BELL=1 switches to the sparse Pallas block-ELL
+workload. Baseline derivation is documented in scs_tpu/bench_cli.py and
+emitted in the JSON itself.
 """
 
-import json
-import os
-import sys
-import time
-
-import numpy as np
-
-
-def gen_batch(B, m, n, seed=1234):
-    """Dense random QP batch (notebook recipe: well-conditioned A, PSD P)."""
-    rng = np.random.RandomState(seed)
-    As, Ps, bs, cs = [], [], [], []
-    for _ in range(B):
-        A = rng.randn(m, n) / np.sqrt(m)
-        G = rng.randn(n, n // 8)
-        P = 0.1 * (G @ G.T) / (n // 8) + 1e-4 * np.eye(n)
-        z = rng.randn(m)
-        y = np.maximum(z, 0)
-        s = y - z
-        x = rng.randn(n)
-        c = -A.T @ y - P @ x
-        b = A @ x + s
-        As.append(A)
-        Ps.append(P)
-        bs.append(b)
-        cs.append(c)
-    return (
-        np.stack(As),
-        np.stack(Ps),
-        np.stack(bs),
-        np.stack(cs),
-    )
-
-
-def main():
-    B = int(os.environ.get("BENCH_BATCH", "32"))
-    m = int(os.environ.get("BENCH_M", "1500"))
-    n = int(os.environ.get("BENCH_N", "1000"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
-    # Operating point: eps=1e-4 — the solver's default tolerance and the
-    # north-star parity point (BASELINE.json: "solution-gap parity (eps
-    # 1e-4)"). The CPU anchor below was recorded at eps=1e-6 (225 iters);
-    # at 1e-4 the reference would terminate earlier, so vs_baseline is
-    # optimistic by the iteration ratio — the headline metric is
-    # problems/sec at the framework's default operating point.
-    eps = float(os.environ.get("BENCH_EPS", "1e-4"))
-
-    from scs_tpu.batch import BatchedSCS
-
-    A, P, b, c = gen_batch(B, m, n)
-    solver = BatchedSCS(
-        {"A": A, "P": P, "b": b, "c": c},
-        {"l": m},
-        dtype=dtype,
-        eps_abs=eps,
-        eps_rel=eps,
-        max_iters=20000,
-        verbose=False,
-    )
-
-    # warmup: compile + run once
-    results = solver.solve()
-    n_solved = sum(r["info"]["status"] in ("solved",) for r in results)
-    if n_solved < B and dtype == "float32":
-        # accuracy fallback: rerun in float64 (still on TPU)
-        solver = BatchedSCS(
-            {"A": A, "P": P, "b": b, "c": c},
-            {"l": m},
-            dtype="float64",
-            eps_abs=eps,
-            eps_rel=eps,
-            max_iters=20000,
-            verbose=False,
-        )
-        results = solver.solve()
-        n_solved = sum(r["info"]["status"] in ("solved",) for r in results)
-        dtype = "float64"
-
-    # timed run (compiled)
-    solver.reset()
-    t0 = time.perf_counter()
-    results = solver.solve()
-    elapsed = time.perf_counter() - t0
-
-    pps = B / elapsed
-    ref_pps = 1.0 / 13.1  # BASELINE.md cell-19 anchor (eps=1e-6, CPU)
-    iters = int(np.mean([r["info"]["iter"] for r in results]))
-    out = {
-        "metric": f"qp_n{n}_m{m}_b{B}_{dtype}_eps{eps:g}_throughput",
-        "value": round(pps, 3),
-        "unit": "problems/sec",
-        "vs_baseline": round(pps / ref_pps, 1),
-    }
-    print(json.dumps(out))
-    print(
-        f"# solved {n_solved}/{B}, mean iters {iters}, "
-        f"solve {elapsed:.2f}s, dtype {dtype}",
-        file=sys.stderr,
-    )
-
+from scs_tpu.bench_cli import main
 
 if __name__ == "__main__":
     main()

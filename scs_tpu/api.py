@@ -28,7 +28,11 @@ from . import info as info_mod
 from . import native
 from .cones import ConeSpec
 from .io import CsvLogger, print_footer, print_header, print_iter_line, write_problem
-from .normalize import identity_scaling, ruiz_equilibrate
+from .normalize import (
+    identity_scaling,
+    ruiz_equilibrate,
+    ruiz_equilibrate_sparse,
+)
 from .settings import Settings
 from .solver import BellData, Mats, get_core
 
@@ -69,7 +73,27 @@ _INDIRECT = {
 }
 
 
-def _resolve_strategy(linear_solver, m, n, density=1.0) -> str:
+def _block_ell_stats(A_csc, bs):
+    """Estimated element counts of the block-ELL pack of (A, A^T) vs the
+    dense representation. O(nnz); drives the AUTO bell-vs-indirect choice:
+    scalar density is misleading because an unstructured matrix at density
+    0.01 still touches essentially every (128, 128) tile, degenerating the
+    pack to >= 2x dense storage."""
+    m, n = A_csc.shape
+    nbr, nbc = -(-m // bs), -(-n // bs)
+    coo = A_csc.tocoo()
+    pids = np.unique(
+        (coo.row // bs).astype(np.int64) * nbc + (coo.col // bs)
+    )
+    rcounts = np.bincount((pids // nbc).astype(np.intp), minlength=nbr)
+    ccounts = np.bincount((pids % nbc).astype(np.intp), minlength=nbc)
+    wA = max(int(rcounts.max()) if nbr else 0, 1)
+    wAt = max(int(ccounts.max()) if nbc else 0, 1)
+    packed = (nbr * wA + nbc * wAt) * bs * bs
+    return packed, m * n
+
+
+def _resolve_strategy(linear_solver, m, n, A_csc=None, bell_bs=128) -> str:
     if isinstance(linear_solver, str):
         linear_solver = LinearSolver(linear_solver)
     if linear_solver in _DIRECT:
@@ -78,10 +102,15 @@ def _resolve_strategy(linear_solver, m, n, density=1.0) -> str:
         return "indirect"
     # AUTO heuristic: dense factorization for moderate n; for large
     # problems, matrix-free CG — via the block-ELL Pallas SpMV when the
-    # data is genuinely sparse, dense matmuls otherwise
+    # MEASURED block structure makes the pack meaningfully smaller than
+    # dense (SpMV is bandwidth-bound, so packed size is the cost model),
+    # dense matmuls otherwise.
     if n <= 4096:
         return "direct"
-    return "bell" if density < 0.05 else "indirect"
+    if A_csc is None:
+        return "indirect"
+    packed, dense = _block_ell_stats(A_csc, bell_bs)
+    return "bell" if packed <= 0.25 * dense else "indirect"
 
 
 def _has_lower_tri(P):
@@ -123,8 +152,7 @@ class SCS:
         if not sparse.issparse(A):
             if not dense_ok or not isinstance(A, np.ndarray):
                 raise TypeError("A is required to be a sparse matrix")
-            A_dense = np.asarray(A, np.float64)
-            self._A_input = sparse.csc_matrix(A_dense)
+            self._A_input = sparse.csc_matrix(np.asarray(A, np.float64))
         else:
             if A.format != "csc":
                 warnings.warn(
@@ -135,11 +163,8 @@ class SCS:
             if not A.has_sorted_indices:
                 A = A.sorted_indices()
             self._A_input = A
-            A_dense = (
-                native.csc_to_dense(A)
-                if native.available
-                else np.asarray(A.todense())
-            )
+        # A stays CSC until the strategy is known: under "bell" the dense
+        # (m, n) array is never formed — not on device, not on host.
 
         if sparse.issparse(b):
             b = np.asarray(b.todense()).ravel()
@@ -150,10 +175,10 @@ class SCS:
         m, n = len(b), len(c)
         if m <= 0 or n <= 0:
             raise ValueError("m and n must be positive")
-        if A_dense.shape != (m, n):
+        if self._A_input.shape != (m, n):
             raise ValueError("A shape not compatible with b,c")
 
-        P_dense = None
+        P_triu = None
         if "P" in data and data["P"] is not None:
             P = data["P"]
             if not sparse.issparse(P):
@@ -172,22 +197,17 @@ class SCS:
                 P = P.sorted_indices()
             if _has_lower_tri(P):
                 P = sparse.triu(P, format="csc")
-            # P holds the upper triangle; expand to the full symmetric
-            # matrix for the dense TPU path.
-            if native.available:
-                P_dense = native.csc_triu_to_dense_sym(P)
-            else:
-                U = np.asarray(P.todense())
-                P_dense = U + U.T - np.diag(np.diag(U))
+            P_triu = P
 
         # settings: reference keyword surface + TPU extras
         linear_solver = settings.pop("linear_solver", LinearSolver.AUTO)
         self.stg = Settings.from_kwargs(**settings)
-        density = self._A_input.nnz / max(m * n, 1)
         strategy = (
             self.stg.solver_strategy
             if self.stg.solver_strategy != "auto"
-            else _resolve_strategy(linear_solver, m, n, density)
+            else _resolve_strategy(
+                linear_solver, m, n, self._A_input, self.stg.bell_block_size
+            )
         )
         object.__setattr__(self.stg, "solver_strategy", strategy)
 
@@ -202,34 +222,39 @@ class SCS:
         self._b_orig, self._c_orig = b, c
 
         t0 = time.perf_counter()
-        # normalization (host-side numpy preprocessing; SURVEY §2.3 maps
-        # src/normalize.c -> "pure jnp/numpy preprocessing")
-        if self.stg.normalize:
-            Ah, Ph, bh, ch, scal, spec_hat = ruiz_equilibrate(
-                A_dense, P_dense, b, c, spec
-            )
-        else:
-            scal = identity_scaling(m, n)
-            Ah, Ph, bh, ch, spec_hat = A_dense, P_dense, b, c, spec
-        self._scal = scal
-        self._spec_hat = spec_hat
-
         dtype = jnp.float64 if self.stg.dtype == "float64" else jnp.float32
         self._dtype = dtype
-        has_P = P_dense is not None
+        has_P = P_triu is not None
         self.has_P = has_P
 
         bell = None
+        pbell = None
+        Ph = None
         if strategy == "bell":
-            # pack the NORMALIZED A into block-ELL (the iteration-time
-            # operator); dense A never reaches the device
-            from .ops.sparse import pack_bell
+            # Fully sparse preprocessing: equilibration, preconditioner
+            # sums, and the block-ELL packs all run on CSC data — the
+            # dense (m, n) array is never formed, host or device.
+            from .ops.sparse import pack_bell, pack_bell_sym
 
-            bm = pack_bell(sparse.csc_matrix(Ah), self.stg.bell_block_size, dtype)
-            zmask = spec_hat.zero_row_mask()
-            colsq_zero = np.asarray(
-                (np.asarray(Ah) ** 2 * zmask[:, None]).sum(axis=0)
-            )
+            P_full = None
+            if has_P:
+                U = P_triu
+                P_full = (
+                    U + U.T - sparse.diags(U.diagonal())
+                ).tocsc()
+            if self.stg.normalize:
+                Ah_sp, Ph_sp, bh, ch, scal, spec_hat = (
+                    ruiz_equilibrate_sparse(self._A_input, P_full, b, c, spec)
+                )
+            else:
+                scal = identity_scaling(m, n)
+                Ah_sp, Ph_sp, bh, ch, spec_hat = (
+                    self._A_input, P_full, b, c, spec,
+                )
+            bm = pack_bell(Ah_sp, self.stg.bell_block_size, dtype)
+            zmask = spec_hat.zero_row_mask().astype(np.float64)
+            Asq = Ah_sp.multiply(Ah_sp)  # sparse elementwise square
+            colsq_zero = np.asarray(zmask @ Asq).ravel()
             bell = BellData(
                 A_blocks=bm.A_blocks,
                 A_cols=bm.A_cols,
@@ -238,12 +263,45 @@ class SCS:
                 colsq_all=bm.col_sq,
                 colsq_zero=jnp.asarray(colsq_zero, dtype),
             )
+            if has_P:
+                pbell = pack_bell_sym(
+                    Ph_sp, self.stg.bell_block_size, dtype
+                )
             Ah = np.zeros((0, 0))
+        else:
+            A_dense = (
+                native.csc_to_dense(self._A_input)
+                if native.available
+                else np.asarray(self._A_input.todense())
+            )
+            P_dense = None
+            if has_P:
+                # P holds the upper triangle; expand to the full symmetric
+                # matrix for the dense TPU path.
+                if native.available:
+                    P_dense = native.csc_triu_to_dense_sym(P_triu)
+                else:
+                    U = np.asarray(P_triu.todense())
+                    P_dense = U + U.T - np.diag(np.diag(U))
+            # normalization (host-side numpy preprocessing; SURVEY §2.3
+            # maps src/normalize.c -> "pure jnp/numpy preprocessing")
+            if self.stg.normalize:
+                Ah, Ph, bh, ch, scal, spec_hat = ruiz_equilibrate(
+                    A_dense, P_dense, b, c, spec
+                )
+            else:
+                scal = identity_scaling(m, n)
+                Ah, Ph, bh, ch, spec_hat = A_dense, P_dense, b, c, spec
+        self._scal = scal
+        self._spec_hat = spec_hat
 
         self.mats = Mats(
             bell=bell,
+            pbell=pbell,
             A=jnp.asarray(Ah, dtype),
-            P=jnp.asarray(Ph, dtype) if has_P else jnp.zeros((0, 0), dtype),
+            P=jnp.asarray(Ph, dtype)
+            if Ph is not None
+            else jnp.zeros((0, 0), dtype),
             bn=jnp.asarray(bh, dtype),
             cn=jnp.asarray(ch, dtype),
             bl=jnp.asarray(spec_hat.bl, dtype),

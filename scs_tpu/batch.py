@@ -41,6 +41,10 @@ class BatchedSCS:
 
     def __init__(self, data, cone, **settings):
         settings.setdefault("verbose", False)
+        # Batched direct solves default to the precomputed-inverse apply:
+        # B independent triangular solves serialize on TPU, while a
+        # (B, n, n) @ (B, n) matvec is one bandwidth-bound fused op.
+        settings.setdefault("direct_solver", "inverse")
         A = data["A"]
         if isinstance(A, (list, tuple)):
             A = np.stack([np.asarray(Ai.todense() if hasattr(Ai, "todense") else Ai) for Ai in A])
@@ -157,6 +161,33 @@ class BatchedSCS:
         self._states = self._vinit(self.mats)
         jax.block_until_ready(self._states.gx)
         self._setup_time = time.perf_counter() - t0
+        self._phase_cache = None
+
+    def phase_times(self):
+        """Measured per-call device time of each phase for the WHOLE batch
+        (seconds per batched call): jit(vmap(phase)) at the true shapes.
+        Multiply by the iteration count for a per-phase time breakdown —
+        the batched analogue of the reference's lin_sys/cone/accel timers
+        (scs/scsobject.h:1088-1092)."""
+        if self._phase_cache is not None:
+            return self._phase_cache
+        fns = self.core._phase_fns()
+        out = {}
+        for name, fn in fns.items():
+            if name == "accel_trial" and self.core.lookback == 0:
+                out[name] = 0.0
+                continue
+            j = jax.jit(_hp(jax.vmap(fn)))
+            r = j(self._states, self.mats)
+            jax.block_until_ready(r)
+            reps = 5
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = j(self._states, self.mats)
+            jax.block_until_ready(r)
+            out[name] = (time.perf_counter() - t0) / reps
+        self._phase_cache = out
+        return out
 
     def reset(self):
         """Re-initialize all solver states (cold start)."""

@@ -148,7 +148,15 @@ def print_footer(info):
 
 
 def write_problem(filename, data, cone, settings_dict):
-    """Problem snapshot for offline repro — npz analogue of src/rw.c."""
+    """Problem snapshot for offline repro (reference: src/rw.c via
+    write_data_filename, scsobject.h:493). A ".bin" suffix selects the
+    native C++ binary format (csc_ops.cpp, rw.c analogue); anything else
+    writes the npz container."""
+    if str(filename).endswith(".bin"):
+        from . import native
+
+        native.write_problem_bin(filename, data, cone, settings_dict)
+        return
     from scipy import sparse
 
     arrays = {
@@ -181,6 +189,10 @@ def write_problem(filename, data, cone, settings_dict):
 
 def read_problem(filename):
     """Load a problem snapshot written by `write_problem`."""
+    if str(filename).endswith(".bin"):
+        from . import native
+
+        return native.read_problem_bin(filename)
     from scipy import sparse
 
     with np.load(filename, allow_pickle=False) as z:

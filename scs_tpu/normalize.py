@@ -117,6 +117,80 @@ def identity_scaling(m, n):
     return Scaling(D=np.ones(m), E=np.ones(n), sc_b=1.0, sc_c=1.0)
 
 
+def ruiz_equilibrate_sparse(A, P, b, c, spec: ConeSpec, passes=NUM_RUIZ_PASSES):
+    """Sparse-aware Ruiz equilibration: same math as `ruiz_equilibrate`,
+    O(nnz) per pass, never materializing a dense (m, n) array — the
+    preprocessing path for the block-ELL ("bell") strategy, whose whole
+    point is that dense A fits neither device nor host at scale.
+
+    A: scipy CSC (m, n). P: scipy CSC (n, n) FULL symmetric (not triu) or
+    None. Returns (A_hat csc, P_hat csc|None, b_hat, c_hat, Scaling,
+    spec_hat).
+    """
+    from scipy import sparse as sp
+
+    A = sp.csc_matrix(A, copy=True)
+    m, n = A.shape
+    D = np.ones(m)
+    E = np.ones(n)
+    ids, nblocks = row_block_ids(spec)
+    has_blocks = nblocks > 0
+
+    Ah = A
+    Ph = None if P is None else sp.csc_matrix(P, copy=True)
+
+    def col_max_abs(M):
+        Mab = np.abs(M.data)
+        out = np.zeros(M.shape[1])
+        np.maximum.at(out, np.repeat(np.arange(M.shape[1]), np.diff(M.indptr)), Mab)
+        return out
+
+    for _ in range(passes):
+        r = np.zeros(m)
+        np.maximum.at(r, Ah.indices, np.abs(Ah.data))
+        if has_blocks:
+            blk_max = np.zeros(nblocks)
+            np.maximum.at(blk_max, ids[ids >= 0], r[ids >= 0])
+            r = np.where(ids >= 0, blk_max[np.clip(ids, 0, None)], r)
+        r = np.where(r <= MIN_SCALE, 1.0, r)
+        r = np.sqrt(r)
+        cn = col_max_abs(Ah)
+        if Ph is not None:
+            cn = np.maximum(cn, col_max_abs(Ph))
+        cn = np.where(cn <= MIN_SCALE, 1.0, cn)
+        cn = np.sqrt(cn)
+        # scale in place on the CSC data arrays: A <- D_r^-1 A E_c^-1
+        col_of = np.repeat(np.arange(n), np.diff(Ah.indptr))
+        Ah.data /= r[Ah.indices]
+        Ah.data /= cn[col_of]
+        if Ph is not None:
+            pcol = np.repeat(np.arange(n), np.diff(Ph.indptr))
+            Ph.data /= cn[Ph.indices]
+            Ph.data /= cn[pcol]
+        D /= r
+        E /= cn
+
+    bh = D * np.asarray(b, np.float64)
+    ch = E * np.asarray(c, np.float64)
+    sc_b = 1.0 / max(float(np.linalg.norm(bh)), MIN_SCALE)
+    sc_c = 1.0 / max(float(np.linalg.norm(ch)), MIN_SCALE)
+    bh *= sc_b
+    ch *= sc_c
+    if Ph is not None:
+        Ph.data *= sc_c / sc_b
+
+    spec_hat = spec
+    if spec.bsize > 0:
+        off = spec.z + spec.l
+        d_t = D[off]
+        d_s = D[off + 1 : off + spec.bsize]
+        spec_hat = dataclasses.replace(
+            spec, bu=spec.bu * d_s / d_t, bl=spec.bl * d_s / d_t
+        )
+
+    return Ah, Ph, bh, ch, Scaling(D=D, E=E, sc_b=sc_b, sc_c=sc_c), spec_hat
+
+
 # ---------------------------------------------------------------------------
 # On-device (jnp) equilibration — used by the batched and sharded paths.
 # ---------------------------------------------------------------------------

@@ -41,14 +41,16 @@ def _pallas_available() -> bool:
 def bell_spmv_ref(blocks, cols, x_pad):
     """Reference block-ELL SpMV: y (nbr*bs,) = A @ x.
 
-    blocks: (nbr, width, bs, bs); cols: (nbr, width) int32;
-    x_pad: (nbc*bs,) zero-padded input.
+    blocks: (nbr, width, bs, bs) storing each tile TRANSPOSED
+    (blocks[r, w, j, i] = A_tile[i, j] — so the kernel's row-vector
+    matmul x_tile @ blocks[r, w] is a plain MXU matmul); cols: (nbr,
+    width) int32; x_pad: (nbc*bs,) zero-padded input.
     """
     nbr, width, bs, _ = blocks.shape
     xb = x_pad.reshape(-1, bs)  # (nbc, bs)
     gathered = xb[cols]  # (nbr, width, bs)
     y = jnp.einsum(
-        "rwij,rwj->ri", blocks, gathered,
+        "rwji,rwj->ri", blocks, gathered,
         preferred_element_type=blocks.dtype,
     )
     return y.reshape(nbr * bs)
@@ -61,8 +63,16 @@ def _bell_kernel(cols_ref, blk_ref, x_ref, y_ref):
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    y_ref[0, 0, :] += jnp.dot(
-        blk_ref[0, 0], x_ref[0, 0, :], preferred_element_type=y_ref.dtype
+    # tiles are stored transposed, so A_tile @ x == x_row @ blk: a
+    # (1, bs) @ (bs, bs) matmul — the MXU-legal orientation (a 2Dx1D
+    # matvec fails Mosaic legalization). HIGHEST precision: the default
+    # bf16 MXU passes give ~1e-2 relative error, which stalls the CG/DR
+    # iterations this SpMV feeds (solver._hp rationale).
+    y_ref[0, :, :] += jax.lax.dot(
+        x_ref[0],
+        blk_ref[0, 0],
+        preferred_element_type=y_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -76,6 +86,8 @@ def bell_spmv(blocks, cols, x_pad, *, interpret=False):
     The x tile for each (block-row, slot) is DMA'd into VMEM by the
     scalar-prefetched block-column id.
     """
+    import contextlib  # noqa: PLC0415
+
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
@@ -91,18 +103,29 @@ def bell_spmv(blocks, cols, x_pad, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, 1, bs), lambda i, w, cols: (i, 0, 0)),
     )
-    y = pl.pallas_call(
-        _bell_kernel,
-        out_shape=jax.ShapeDtypeStruct((nbr, 1, bs), blocks.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nbr * width * bs * bs,
-            bytes_accessed=blocks.size * blocks.dtype.itemsize
-            + 2 * nbr * bs * blocks.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(cols.astype(jnp.int32), blocks, xb)
+    # The solver package enables x64 globally; under x64 the scalar-
+    # prefetch index arithmetic traces as int64 and Mosaic fails to
+    # legalize the kernel ("failed to legalize operation 'func.func'").
+    # All operands here are f32/i32 already, so trace the kernel with x64
+    # scoped off (no caller-visible effect).
+    x64_off = (
+        jax.enable_x64(False)
+        if hasattr(jax, "enable_x64")
+        else contextlib.nullcontext()
+    )
+    with x64_off:
+        y = pl.pallas_call(
+            _bell_kernel,
+            out_shape=jax.ShapeDtypeStruct((nbr, 1, bs), blocks.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nbr * width * bs * bs,
+                bytes_accessed=blocks.size * blocks.dtype.itemsize
+                + 2 * nbr * bs * blocks.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(cols.astype(jnp.int32), blocks, xb)
     return y.reshape(nbr * bs)
 
 
@@ -163,8 +186,11 @@ def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
 
     def pack(M):
         if native.available:
-            return native.pack_block_ell(M, block_size)
-        return _pack_bell_numpy(M, block_size)
+            blocks, cols = native.pack_block_ell(M, block_size)
+        else:
+            blocks, cols = _pack_bell_numpy(M, block_size)
+        # store tiles transposed: SpMV becomes x_row @ tile (MXU-legal)
+        return np.ascontiguousarray(blocks.transpose(0, 1, 3, 2)), cols
 
     A_blocks, A_cols = pack(A_csc)
     At_blocks, At_cols = pack(At_csc)
@@ -180,6 +206,30 @@ def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
         At_cols=jnp.asarray(At_cols, jnp.int32),
         col_sq=jnp.asarray(d, dtype),
         row_sq=jnp.asarray(r, dtype),
+    )
+
+
+def pack_bell_sym(P_csc, block_size=128, dtype=jnp.float32):
+    """Pack a symmetric sparse matrix (full P, not triu) into a one-sided
+    block-ELL operator (solver.PBell): symmetry means a single pack serves
+    P @ x in both orientations; diag(P) is extracted for the Jacobi
+    preconditioner (solver._diagS)."""
+    from scipy import sparse as sp  # noqa: PLC0415
+
+    from .. import native  # noqa: PLC0415
+    from ..solver import PBell  # noqa: PLC0415
+
+    P_csc = sp.csc_matrix(P_csc)
+    P_csc.sort_indices()
+    if native.available:
+        blocks, cols = native.pack_block_ell(P_csc, block_size)
+    else:
+        blocks, cols = _pack_bell_numpy(P_csc, block_size)
+    blocks = np.ascontiguousarray(blocks.transpose(0, 1, 3, 2))
+    return PBell(
+        blocks=jnp.asarray(blocks, dtype),
+        cols=jnp.asarray(cols, jnp.int32),
+        diag=jnp.asarray(P_csc.diagonal(), dtype),
     )
 
 

@@ -88,6 +88,13 @@ class Settings:
     # Tile size for the block-ELL pack (bell strategy). 128 matches the
     # MXU/lane width; smaller tiles only make sense for CPU testing.
     bell_block_size: int = 128
+    # Direct-strategy linear solve: "cholesky" applies the cached factor via
+    # two triangular solves (sequential on TPU — right for one problem at
+    # high accuracy); "inverse" precomputes S^-1 once at setup and applies
+    # it as a single dense matvec — batched matvecs are pure MXU/HBM work,
+    # which is the TPU-native choice for large scenario batches (the
+    # batched path defaults to it).
+    direct_solver: str = "cholesky"
     # CG controls for the indirect path (reference: linsys/cpu/indirect,
     # tolerance tightened per-iteration at rate cg_rate).
     cg_rate: float = 2.0
@@ -151,6 +158,8 @@ class Settings:
             _err("dtype must be 'float64' or 'float32'")
         if self.phase_timing not in ("auto", "always", "off"):
             _err("phase_timing must be 'auto', 'always' or 'off'")
+        if self.direct_solver not in ("cholesky", "inverse"):
+            _err("direct_solver must be 'cholesky' or 'inverse'")
         if self.solver_strategy not in ("auto", "direct", "indirect", "bell"):
             _err(
                 "solver_strategy must be 'auto', 'direct', 'indirect' or"

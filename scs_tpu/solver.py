@@ -99,6 +99,16 @@ class BellData(NamedTuple):
     colsq_zero: jnp.ndarray  # (n,) sum over zero-cone rows of A_ij^2
 
 
+class PBell(NamedTuple):
+    """Block-ELL pack of the (symmetric) quadratic-cost matrix P for the
+    bell strategy — at bell scale (n > 4096) dense P is as unaffordable as
+    dense A, so P rides the same Pallas SpMV."""
+
+    blocks: jnp.ndarray  # (nb, w, bs, bs)
+    cols: jnp.ndarray  # (nb, w) int32
+    diag: jnp.ndarray  # (n,) diag(P) for the Jacobi preconditioner
+
+
 class Mats(NamedTuple):
     """Dynamic problem data (normalized). Passing these as arguments (not
     closures) lets compiled code be reused across b/c updates."""
@@ -117,6 +127,7 @@ class Mats(NamedTuple):
     norm_b: jnp.ndarray  # ||b|| original
     norm_c: jnp.ndarray  # ||c|| original
     bell: Optional[BellData] = None  # block-ELL pack (bell strategy only)
+    pbell: Optional[PBell] = None  # block-ELL pack of P (bell + has_P only)
 
 
 class AAState(NamedTuple):
@@ -222,6 +233,12 @@ class Core:
         self.strategy = stg.solver_strategy
         self.indirect = stg.solver_strategy in ("indirect", "bell")
         self.use_bell = stg.solver_strategy == "bell"
+        # "inverse" applies S^-1 as one dense matvec instead of two
+        # triangular solves — triangular solves serialize along n on TPU,
+        # while a batched (B, n, n) @ (B, n) matvec is pure MXU/HBM work.
+        self.use_inverse = (
+            not self.indirect and stg.direct_solver == "inverse"
+        )
         # Primal cone projector (structure-cached); the y block uses the
         # dual cone via Moreau. Box bounds enter dynamically (normalized).
         self._proj = get_projector(spec, self.dtype)
@@ -273,6 +290,20 @@ class Core:
         f = bell_spmv if self._pallas_ok() else bell_spmv_ref
         return f(bell.At_blocks, bell.At_cols, y_pad)[: self.n]
 
+    def _Px(self, mats: Mats, x):
+        """P @ x — dense matmul, or block-ELL SpMV under the bell strategy
+        (P is symmetric, so one pack serves both orientations)."""
+        if not self.use_bell:
+            return mats.P @ x
+        from .ops.sparse import bell_spmv, bell_spmv_ref  # noqa: PLC0415
+
+        pb = mats.pbell
+        bs = pb.blocks.shape[-1]
+        n_pad = pb.blocks.shape[0] * bs
+        x_pad = jnp.zeros(n_pad, x.dtype).at[: self.n].set(x)
+        f = bell_spmv if self._pallas_ok() else bell_spmv_ref
+        return f(pb.blocks, pb.cols, x_pad)[: self.n]
+
     @staticmethod
     def _pallas_ok():
         try:
@@ -291,7 +322,7 @@ class Core:
     def _matvec_S(self, mats: Mats, dy, x):
         out = self.stg.rho_x * x + self._ATy(mats, dy * self._Ax(mats, x))
         if self.has_P:
-            out = out + mats.P @ x
+            out = out + self._Px(mats, x)
         return out
 
     def _diagS(self, mats: Mats, dy, scale):
@@ -311,7 +342,9 @@ class Core:
                 mats.A * mats.A * dy[:, None], axis=0
             )
         if self.has_P:
-            diagS = diagS + jnp.diagonal(mats.P)
+            diagS = diagS + (
+                mats.pbell.diag if self.use_bell else jnp.diagonal(mats.P)
+            )
         return diagS
 
     def _cg(self, mats, dy, rhs, x0, tol, scale):
@@ -352,6 +385,8 @@ class Core:
         if self.indirect:
             dy = 1.0 / self._ry(state.scale)
             return self._cg(mats, dy, rhs, state.px_warm, tol, state.scale)
+        if self.use_inverse:
+            return state.L @ rhs, jnp.int32(0)  # L holds S^-1 in this mode
         x = jax.scipy.linalg.cho_solve((state.L, True), rhs)
         return x, jnp.int32(0)
 
@@ -368,6 +403,13 @@ class Core:
                 mats, dy, rhs, jnp.zeros(self.n, self.dtype),
                 self.stg.cg_tol_min * 10, scale,
             )
+        elif self.use_inverse:
+            S = self._build_S(mats, dy)
+            chol = jnp.linalg.cholesky(S)
+            L = jax.scipy.linalg.cho_solve(
+                (chol, True), jnp.eye(self.n, dtype=self.dtype)
+            )  # L := S^-1 (SPD, equilibrated; one-time n^3, then matvecs)
+            gx = L @ (mats.cn - mats.A.T @ (dy * mats.bn))
         else:
             S = self._build_S(mats, dy)
             L = jnp.linalg.cholesky(S)
@@ -485,7 +527,7 @@ class Core:
         a = 1.0 + stg.rho_x * jnp.dot(gx, gx) + jnp.dot(gy * ry, gy)
         hp = jnp.dot(mats.cn, px) + jnp.dot(mats.bn, py)
         if self.has_P:
-            Ppx = mats.P @ px
+            Ppx = self._Px(mats, px)
             bq = -wtau - hp + 2.0 * jnp.dot(gx, Ppx)
             cq = -jnp.dot(px, Ppx)
             disc = jnp.maximum(bq * bq - 4.0 * a * cq, 0.0)
@@ -670,7 +712,7 @@ class Core:
 
         Axb = self._Ax(mats, xbar)
         Aty = self._ATy(mats, ybar)
-        Pxb = mats.P @ xbar if self.has_P else jnp.zeros_like(xbar)
+        Pxb = self._Px(mats, xbar) if self.has_P else jnp.zeros_like(xbar)
 
         Dinv = 1.0 / mats.D
         Einv = 1.0 / mats.E
@@ -1042,22 +1084,11 @@ class Core:
 
     # -- per-phase timing calibration ---------------------------------------
 
-    def phase_times(self, state: State, mats: Mats):
-        """Measured per-call device time of each solver phase, in seconds.
-
-        XLA fuses the whole iteration into one compiled program, so the
-        reference's inline wall-clock timers (scs/scsobject.h:1088-1092)
-        have no direct analogue on TPU. Instead each phase is jit-compiled
-        standalone at the TRUE problem shapes/strategy and timed on device;
-        the caller multiplies by the iteration counts. Cached per Core so
-        repeated solves of the same shape pay the compile once.
-
-        Returns dict(lin_sys=, cone=, accel_trial=) — seconds per call.
-        """
-        if self._phase_cache is not None:
-            return self._phase_cache
-        import time as _time
-
+    def _phase_fns(self):
+        """Standalone per-phase functions of (state, mats) at the true
+        problem shapes — the measurable decomposition of one iteration.
+        Shared by the single-problem path (jit) and the batched path
+        (vmap + jit, see BatchedSCS.phase_times)."""
         n, m = self.n, self.m
         stg = self.stg
 
@@ -1088,6 +1119,26 @@ class Core:
             # that cost is genuinely part of the acceleration phase here
             return self._step(state._replace(w=cand), mats).w
 
+        return {"lin_sys": lin_fn, "cone": cone_fn, "accel_trial": aa_fn}
+
+    def phase_times(self, state: State, mats: Mats):
+        """Measured per-call device time of each solver phase, in seconds.
+
+        XLA fuses the whole iteration into one compiled program, so the
+        reference's inline wall-clock timers (scs/scsobject.h:1088-1092)
+        have no direct analogue on TPU. Instead each phase is jit-compiled
+        standalone at the TRUE problem shapes/strategy and timed on device;
+        the caller multiplies by the iteration counts. Cached per Core so
+        repeated solves of the same shape pay the compile once.
+
+        Returns dict(lin_sys=, cone=, accel_trial=) — seconds per call.
+        """
+        if self._phase_cache is not None:
+            return self._phase_cache
+        import time as _time
+
+        fns = self._phase_fns()
+
         def measure(fn):
             j = jax.jit(_hp(fn))
             out = j(state, mats)
@@ -1100,9 +1151,11 @@ class Core:
             return (_time.perf_counter() - t0) / reps
 
         self._phase_cache = {
-            "lin_sys": measure(lin_fn),
-            "cone": measure(cone_fn),
-            "accel_trial": measure(aa_fn) if self.lookback > 0 else 0.0,
+            "lin_sys": measure(fns["lin_sys"]),
+            "cone": measure(fns["cone"]),
+            "accel_trial": measure(fns["accel_trial"])
+            if self.lookback > 0
+            else 0.0,
         }
         return self._phase_cache
 
@@ -1122,6 +1175,7 @@ def get_core(m, n, has_P, spec: ConeSpec, stg: Settings) -> Core:
         spec_signature(spec),
         stg.dtype,
         stg.solver_strategy,
+        stg.direct_solver,
         stg.alpha,
         stg.rho_x,
         stg.scale,

@@ -16,3 +16,25 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite compiles hundreds of distinct XLA CPU programs; with all of
+    them kept live in one process, a late shard_map compilation segfaults
+    inside XLA (reproducible at tests/test_sharding.py when the FULL suite
+    runs in one process, absent when the module runs alone). Bounding the
+    live-executable population avoids the crash and caps memory; tests
+    recompile transparently."""
+    yield
+    jax.clear_caches()
+    # compiled cores cache jitted callables; drop them with the caches
+    from scs_tpu import solver as _solver
+    from scs_tpu.ops import projections as _proj
+
+    _solver._CORE_CACHE.clear()
+    _proj._PROJECTOR_CACHE.clear()

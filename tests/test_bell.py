@@ -80,9 +80,47 @@ def test_bell_qp_kkt():
     assert abs(s @ y) < 1e-4
 
 
-def test_auto_picks_bell_for_large_sparse():
+def test_auto_strategy_uses_block_density():
     from scs_tpu.api import _resolve_strategy, LinearSolver
 
-    assert _resolve_strategy(LinearSolver.AUTO, 100, 100, 1.0) == "direct"
-    assert _resolve_strategy(LinearSolver.AUTO, 10000, 8192, 0.001) == "bell"
-    assert _resolve_strategy(LinearSolver.AUTO, 10000, 8192, 0.5) == "indirect"
+    rng = np.random.RandomState(0)
+    m, n = 8448, 8448  # > 4096 so AUTO considers the matrix-free paths
+    assert _resolve_strategy(LinearSolver.AUTO, 100, 100) == "direct"
+
+    # block-diagonal structure: few nonzero 128x128 tiles -> bell
+    blocks = [sparse.random(128, 128, 0.3, random_state=rng) for _ in range(66)]
+    A_block = sparse.block_diag(blocks, format="csc")
+    assert _resolve_strategy(LinearSolver.AUTO, m, n, A_block) == "bell"
+
+    # same SCALAR density scattered uniformly: every tile is touched, the
+    # pack would exceed dense storage -> indirect (the round-1 advisor
+    # finding: density 0.0044 here, under the old 0.05 bell threshold)
+    A_scatter = sparse.random(m, n, A_block.nnz / (m * n), random_state=rng,
+                              format="csc")
+    assert _resolve_strategy(LinearSolver.AUTO, m, n, A_scatter) == "indirect"
+
+    # no sparse structure supplied -> indirect
+    assert _resolve_strategy(LinearSolver.AUTO, 10000, 8192) == "indirect"
+
+
+def test_bell_never_densifies_A(monkeypatch):
+    """The bell path must not materialize dense A on host (round-1 advisor
+    finding #2): a todense() call on the input matrix is a bug."""
+    data, cone, _ = _sparse_lp(70, 50, seed=2)
+
+    class NoDense(sparse.csc_matrix):
+        def todense(self, *a, **k):  # pragma: no cover - failure path
+            raise AssertionError("bell path densified A")
+
+        def toarray(self, *a, **k):  # pragma: no cover - failure path
+            raise AssertionError("bell path densified A")
+
+    data["A"] = NoDense(data["A"])
+    from scs_tpu import native
+
+    monkeypatch.setattr(native, "available", False)
+    sol = scs_tpu.solve(
+        data, cone, solver_strategy="bell", bell_block_size=16,
+        eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+    )
+    assert sol["info"]["status"] == "solved"

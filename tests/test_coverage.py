@@ -423,6 +423,49 @@ def test_write_data_file(tmp_path):
     assert sol["info"]["status"] == "solved"
 
 
+def test_write_data_file_native_binary(tmp_path):
+    """Round-trip of the native C++ binary snapshot (rw.c analogue,
+    csc_ops.cpp) selected by the '.bin' suffix, incl. P and a mixed cone."""
+    from scs_tpu import native
+
+    if not native.available:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    from scipy import sparse as sp
+
+    rng = np.random.RandomState(5)
+    m, n = 13, 7
+    A = sp.random(m, n, density=0.4, random_state=rng, format="csc")
+    A = A + sp.eye(m, n, format="csc")
+    Pu = sp.triu(sp.random(n, n, density=0.5, random_state=rng), format="csc")
+    Pu = (Pu + sp.eye(n, format="csc")).tocsc()
+    b, c = rng.randn(m), rng.randn(n)
+    data = {"A": A.tocsc(), "b": b, "c": c, "P": Pu}
+    cone = {"z": 2, "l": 5, "q": [3, 3]}
+    fname = str(tmp_path / "prob.bin")
+    from scs_tpu.io import read_problem, write_problem
+
+    write_problem(fname, data, cone, {"eps_abs": 1e-5, "max_iters": 321,
+                                      "normalize": True})
+    assert os.path.exists(fname)
+    data2, cone2, stgs2 = read_problem(fname)
+    np.testing.assert_allclose(data2["b"], b)
+    np.testing.assert_allclose(data2["c"], c)
+    np.testing.assert_allclose(
+        np.asarray(data2["A"].todense()), np.asarray(A.todense()))
+    np.testing.assert_allclose(
+        np.asarray(data2["P"].todense()), np.asarray(Pu.todense()))
+    assert cone2 == {"z": 2, "l": 5, "q": [3, 3]}
+    assert stgs2["max_iters"] == 321 and stgs2["eps_abs"] == 1e-5
+    # write_data_filename='*.bin' goes through the same native writer
+    fname2 = str(tmp_path / "viainit.bin")
+    scs.SCS(data, cone, verbose=False, write_data_filename=fname2,
+            max_iters=50)
+    d3, c3, _ = read_problem(fname2)
+    assert c3 == cone and d3["A"].nnz == A.nnz
+
+
 def test_csv_log_file(tmp_path):
     fname = str(tmp_path / "log.csv")
     solver = scs.SCS(_TINY, {"l": 2}, verbose=False, log_csv_filename=fname)

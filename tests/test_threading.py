@@ -113,3 +113,82 @@ def test_shared_instance_update_solve_interleaved():
             np.linalg.norm(A @ x + s - bk) for bk in [data["b"], *bs]
         )
         assert r < 1e-3
+
+
+def test_error_path_releases_lock():
+    """An update()/solve() that raises must release the per-instance lock
+    (reference: lock-release-on-error deadlock classes,
+    test_free_threading.py:877-985). A leaked lock deadlocks the next
+    call; run it on a worker thread with a timeout so a regression fails
+    instead of hanging the suite."""
+    data, cone = _tiny_qp(11)
+    solver = scs_tpu.SCS(data, cone, **KW)
+
+    for bad in (np.zeros(3), np.zeros((5, 5))):
+        try:
+            solver.update(b=bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    done = {}
+
+    def follow_up():
+        done["sol"] = solver.solve()
+
+    t = threading.Thread(target=follow_up, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "lock leaked by the failing update()"
+    assert done["sol"]["info"]["status"] == "solved"
+
+
+def test_dealloc_during_concurrent_solve():
+    """Drop the last external reference while another thread is inside
+    solve(): the running call must complete and return a valid solution
+    (reference TOCTOU regression: dealloc-vs-solve on self->work,
+    test_free_threading.py:687-743 — there the C extension must not free
+    the workspace under a live solve; here the running thread's reference
+    keeps the instance alive and the lock serializes teardown)."""
+    import gc
+
+    data, cone = _tiny_qp(13)
+    holder = [scs_tpu.SCS(data, cone, **KW)]
+    started = threading.Event()
+    out = {}
+
+    def work():
+        s = holder[0]
+        started.set()
+        out["sol"] = s.solve()
+
+    t = threading.Thread(target=work)
+    t.start()
+    started.wait()
+    holder.clear()  # main thread drops its reference mid-solve
+    gc.collect()
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert out["sol"]["info"]["status"] == "solved"
+
+
+def test_concurrent_construction_does_not_mutate_inputs():
+    """Constructor inputs are shared across threads; construction must not
+    mutate the caller's dicts/arrays (reference borrowed-ref/concurrent-
+    init regressions, test_free_threading.py:562-683, and the
+    non-mutating sorted_indices contract, scs/py/__init__.py:137-142)."""
+    data, cone = _tiny_qp(17)
+    A_bytes = data["A"].data.tobytes()
+    b_copy = data["b"].copy()
+    cone_copy = dict(cone)
+
+    def build(_):
+        s = scs_tpu.SCS(data, cone, **KW)
+        return s.solve()["info"]["status"]
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        statuses = list(ex.map(build, range(8)))
+    assert all(st == "solved" for st in statuses)
+    assert data["A"].data.tobytes() == A_bytes
+    np.testing.assert_array_equal(data["b"], b_copy)
+    assert cone == cone_copy
