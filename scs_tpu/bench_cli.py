@@ -56,16 +56,18 @@ def gen_batch(B, m, n, seed=1234, dtype=np.float64):
     """Dense random QP batch (notebook recipe: well-conditioned A, PSD P),
     constructed feasible-by-design like test/gen_random_cone_prob.py."""
     rng = np.random.RandomState(seed)
-    A = rng.randn(B, m, n).astype(dtype) / np.sqrt(m)
-    G = rng.randn(B, n, n // 8).astype(dtype)
-    P = 0.1 * np.einsum("bik,bjk->bij", G, G) / (n // 8)
+    A = (rng.standard_normal((B, m, n)) / np.sqrt(m)).astype(dtype)
+    G = rng.standard_normal((B, n, n // 8)).astype(dtype)
+    # batched BLAS matmuls (np.einsum lowers batched contractions to slow
+    # loops; at B=512 the difference is minutes of host time)
+    P = (0.1 / (n // 8)) * (G @ G.transpose(0, 2, 1))
     P += 1e-4 * np.eye(n, dtype=dtype)
-    z = rng.randn(B, m).astype(dtype)
+    z = rng.standard_normal((B, m)).astype(dtype)
     y = np.maximum(z, 0)
     s = y - z
-    x = rng.randn(B, n).astype(dtype)
-    c = -np.einsum("bji,bj->bi", A, y) - np.einsum("bij,bj->bi", P, x)
-    b = np.einsum("bij,bj->bi", A, x) + s
+    x = rng.standard_normal((B, n)).astype(dtype)
+    c = -(A.transpose(0, 2, 1) @ y[..., None])[..., 0] - (P @ x[..., None])[..., 0]
+    b = (A @ x[..., None])[..., 0] + s
     return A, P, b, c
 
 

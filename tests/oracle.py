@@ -308,6 +308,175 @@ def proj_ell1(v):
     return np.concatenate([[t0 + lam], x])
 
 
+def proj_logdet(z, n):
+    """Project (t, v, packed X) onto the log-determinant cone
+    cl{(t, v, X): v > 0, X PSD, t <= v*logdet(X/v)}.
+
+    Independent formulation (reference: spectral_cones/log_cone_*.c):
+    spectral reduction to the vector cone, then the 2-level KKT root
+    system solved with scipy.optimize.brentq (vs the solver's on-device
+    nested fori_loop bisection). Three candidates — the point itself
+    (inside), the active-constraint KKT point, and the v = 0 facet —
+    compared by distance, since the projection onto a closed convex set
+    is the unique nearest feasible point.
+    """
+    from scipy.optimize import brentq
+
+    t0, v0 = float(z[0]), float(z[1])
+    X = _unpack_sym(z[2:], n)
+    w0, V = np.linalg.eigh(X)
+
+    fn = float(n)
+
+    def slog_at(mu, v):
+        w = 0.5 * (w0 + np.sqrt(w0 * w0 + 4.0 * mu * v))
+        return (
+            float(np.sum(np.log(np.maximum(w, 1e-300))))
+            - fn * np.log(max(v, 1e-300)),
+            w,
+        )
+
+    # inside check (closure-aware)
+    if v0 > 0 and np.all(w0 >= 0):
+        sl0, _ = slog_at(0.0, v0)
+        if t0 <= v0 * sl0 + 1e-14:
+            return np.asarray(z, float).copy()
+    if v0 == 0 and np.all(w0 >= 0) and t0 <= 0:
+        return np.asarray(z, float).copy()
+
+    def phi(v, mu):
+        sl, _ = slog_at(mu, v)
+        return v - v0 - mu * (sl - fn)
+
+    def solve_v(mu):
+        """Inner stationarity root phi(v) = 0 over v > 0. For small mu
+        (with v0 <= 0) phi > 0 everywhere — the stationary v is pinned at
+        the v = 0 boundary; return 0.0 and let h() use the continuous
+        extension v*slog -> 0."""
+        hi = max(abs(v0), 1.0)
+        for _ in range(200):
+            if phi(hi, mu) > 0:
+                break
+            hi *= 4.0
+        lo = min(hi, 1e-14)
+        for _ in range(200):
+            if phi(lo, mu) < 0:
+                break
+            lo *= 0.25
+        if phi(lo, mu) > 0:
+            return 0.0
+        return brentq(phi, lo, hi, args=(mu,), xtol=1e-300, rtol=1e-15)
+
+    def h(mu):
+        v = solve_v(mu)
+        if v == 0.0:
+            return mu - t0  # lim_{v->0+} v*slog = 0
+        sl, _ = slog_at(mu, v)
+        return v * sl - (t0 - mu)
+
+    # outer root on mu (h increasing); h(0+) < 0 because the point is
+    # outside the cone. When every w0_i < 0 and v0 <= 0 the interior KKT
+    # system has no root (phi keeps one sign: slog stays bounded as v->0)
+    # — the projection then lies on the v = 0 facet, so candidate C is
+    # marked infeasible (infinite distance) and candidate D wins below.
+    try:
+        mu_hi = 1.0
+        for _ in range(200):
+            if h(mu_hi) > 0:
+                break
+            mu_hi *= 4.0
+        mu_lo = 1e-14
+        if h(mu_lo) > 0:
+            mu = mu_lo
+        else:
+            mu = brentq(h, mu_lo, mu_hi, xtol=1e-300, rtol=1e-14)
+        vC = solve_v(mu)
+        _, wC = slog_at(mu, vC)
+        tC = t0 - mu
+    except ValueError:
+        tC, vC, wC = np.inf, np.inf, np.full_like(w0, np.inf)
+
+    # v = 0 facet candidate: {t <= 0, v = 0, X PSD}
+    tD, vD, wD = min(t0, 0.0), 0.0, np.maximum(w0, 0.0)
+
+    dC = (tC - t0) ** 2 + (vC - v0) ** 2 + np.sum((wC - w0) ** 2)
+    dD = (tD - t0) ** 2 + (vD - v0) ** 2 + np.sum((wD - w0) ** 2)
+    t, v, w = (tD, vD, wD) if dD < dC else (tC, vC, wC)
+
+    Xp = (V * w) @ V.T
+    return np.concatenate([[t, v], _pack_sym(Xp)])
+
+
+def proj_nuclear(z, mm, nn):
+    """Project (t, vec X) onto the nuclear-norm cone {(t, X): ||X||_* <= t};
+    X is mm x nn stored COLUMN-major (reference nuclear_cone.c; layout per
+    test_spectral_and_complex_cones.py:240-243). SVD reduction + the
+    bisection-based ell1-epigraph projection of the singular values."""
+    t0 = float(z[0])
+    X = np.asarray(z[1:], float).reshape(nn, mm).T
+    U, sig, Vt = np.linalg.svd(X, full_matrices=False)
+    pr = proj_ell1(np.concatenate([[t0], sig]))
+    Xp = (U * pr[1:]) @ Vt
+    return np.concatenate([[pr[0]], Xp.T.ravel()])
+
+
+def sum_k_largest(w, k):
+    return float(np.sum(np.sort(w)[::-1][:k]))
+
+
+def proj_sumlargest(z, n, k):
+    """Project (t, packed X) onto {(t, X): sum of k largest eig(X) <= t}
+    (reference: sum_largest_eval_cone.c).
+
+    Independent formulation: spectral reduction, then the vector problem
+    as a lifted QP solved by scipy SLSQP —
+        s_k(w) <= t  <=>  exists a, zeta >= 0 with
+        t >= k*a + sum(zeta),  zeta_i >= w_i - a
+    — instead of the solver's prox/capped-simplex bisection."""
+    from scipy.optimize import minimize
+
+    t0 = float(z[0])
+    X = _unpack_sym(z[1:], n)
+    w0, V = np.linalg.eigh(X)
+
+    if sum_k_largest(w0, k) <= t0 + 1e-14:
+        return np.asarray(z, float).copy()
+
+    # variables: [t, w (n), a, zeta (n)]
+    a0 = np.sort(w0)[::-1][k - 1]
+    zeta0 = np.maximum(w0 - a0, 0.0)
+    x0 = np.concatenate([[max(t0, sum_k_largest(w0, k))], w0, [a0], zeta0])
+
+    def obj(vv):
+        t, w = vv[0], vv[1 : n + 1]
+        return (t - t0) ** 2 + np.sum((w - w0) ** 2)
+
+    def jac(vv):
+        g = np.zeros_like(vv)
+        g[0] = 2.0 * (vv[0] - t0)
+        g[1 : n + 1] = 2.0 * (vv[1 : n + 1] - w0)
+        return g
+
+    cons = [
+        {  # t - k*a - sum(zeta) >= 0
+            "type": "ineq",
+            "fun": lambda vv: vv[0] - k * vv[n + 1] - np.sum(vv[n + 2 :]),
+        },
+        {  # zeta_i - w_i + a >= 0
+            "type": "ineq",
+            "fun": lambda vv: vv[n + 2 :] - vv[1 : n + 1] + vv[n + 1],
+        },
+        {"type": "ineq", "fun": lambda vv: vv[n + 2 :]},  # zeta >= 0
+    ]
+    res = minimize(
+        obj, x0, jac=jac, constraints=cons, method="SLSQP",
+        options={"maxiter": 500, "ftol": 1e-16},
+    )
+    t, w = float(res.x[0]), res.x[1 : n + 1]
+    Xp = (V * w) @ V.T
+    return np.concatenate([[t], _pack_sym(Xp)])
+
+
 def proj_cone(z, K):
     """Project the full slack vector onto the primal cone K."""
     z = np.asarray(z, float).copy()
@@ -347,10 +516,21 @@ def proj_cone(z, K):
         else:
             z[idx : idx + 3] = z[idx : idx + 3] + proj_pow(-z[idx : idx + 3], -pi)
         idx += 3
+    for ni in K.get("d", []):
+        sz = sd_size(ni) + 2
+        z[idx : idx + sz] = proj_logdet(z[idx : idx + sz], ni)
+        idx += sz
+    for mm, nn in zip(K.get("nuc_m", []), K.get("nuc_n", [])):
+        sz = mm * nn + 1
+        z[idx : idx + sz] = proj_nuclear(z[idx : idx + sz], mm, nn)
+        idx += sz
     for ni in K.get("ell1", []):
         z[idx : idx + ni + 1] = proj_ell1(z[idx : idx + ni + 1])
         idx += ni + 1
-    # d / nuc / sl oracles handled in dedicated spectral tests
+    for nn, kk in zip(K.get("sl_n", []), K.get("sl_k", [])):
+        sz = sd_size(nn) + 1
+        z[idx : idx + sz] = proj_sumlargest(z[idx : idx + sz], nn, kk)
+        idx += sz
     return z
 
 

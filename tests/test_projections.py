@@ -255,6 +255,64 @@ def test_logdet():
             assert np.dot(z - p, y_vec - p) <= 1e-4
 
 
+def test_logdet_matches_oracle():
+    """Kernel vs the independent scipy-brentq oracle (two different
+    root-finding stacks agreeing on the same projection)."""
+    nn = 3
+    K = {"d": [nn]}
+    for _ in range(10):
+        z = RNG.randn(oracle.sd_size(nn) + 2) * 2
+        p = _project(K, z)
+        expected = oracle.proj_logdet(z, nn)
+        np.testing.assert_allclose(p, expected, atol=5e-5)
+
+
+def test_nuclear_matches_oracle():
+    mm, nn = 4, 3
+    K = {"nuc_m": [mm], "nuc_n": [nn]}
+    for _ in range(10):
+        z = RNG.randn(mm * nn + 1) * 2
+        p = _project(K, z)
+        expected = oracle.proj_nuclear(z, mm, nn)
+        np.testing.assert_allclose(p, expected, atol=1e-7)
+
+
+def test_sum_largest_matches_oracle():
+    """Kernel (capped-simplex prox bisection) vs the independent
+    lifted-QP SLSQP oracle."""
+    nn, kk = 4, 2
+    K = {"sl_n": [nn], "sl_k": [kk]}
+    for _ in range(10):
+        z = RNG.randn(oracle.sd_size(nn) + 1) * 2
+        p = _project(K, z)
+        expected = oracle.proj_sumlargest(z, nn, kk)
+        np.testing.assert_allclose(p, expected, atol=5e-5)
+
+
+def test_spectral_mixed_cone_full_vector():
+    """Full-vector projection over a K mixing ALL spectral cones with the
+    classic ones, against the oracle dispatcher."""
+    K = {
+        "l": 3,
+        "q": [3],
+        "s": [2],
+        "d": [2],
+        "nuc_m": [3],
+        "nuc_n": [2],
+        "ell1": [3],
+        "sl_n": [3],
+        "sl_k": [2],
+    }
+    m = oracle.cone_dims(K)
+    spec = ConeSpec.from_dict(K)
+    assert spec.dim == m
+    for _ in range(5):
+        z = RNG.randn(m) * 2
+        p = _project(K, z)
+        expected = oracle.proj_cone(z, K)
+        np.testing.assert_allclose(p, expected, atol=5e-5)
+
+
 def test_mixed_cone_full_vector():
     K = {"z": 2, "l": 3, "q": [3, 4], "s": [3], "ep": 2, "ed": 1, "p": [0.6, -0.4]}
     m = oracle.cone_dims(K)

@@ -126,7 +126,12 @@ K_SPECTRAL = {
     "cs": [3],
     "ep": 2,
     "p": [0.4, -0.6],
+    "d": [2],
+    "nuc_m": [3],
+    "nuc_n": [2],
     "ell1": [4],
+    "sl_n": [3],
+    "sl_k": [2],
 }
 m_spec = oracle.cone_dims(K_SPECTRAL)
 
