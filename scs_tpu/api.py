@@ -22,6 +22,7 @@ import warnings
 import numpy as np
 from scipy import sparse
 
+import jax
 import jax.numpy as jnp
 
 from . import info as info_mod
@@ -210,6 +211,10 @@ class SCS:
             )
         )
         object.__setattr__(self.stg, "solver_strategy", strategy)
+        # dtype notes: Settings resolves "auto" per backend (f32 on TPU)
+        # and rejects f64 on TPU outright (fatal XLA:TPU compiler crash),
+        # so by here stg.dtype is always executable on this backend —
+        # including the f32-only Pallas bell kernel (VERDICT r2 item 2a).
 
         spec = ConeSpec.from_dict(cone)
         if spec.dim != m:

