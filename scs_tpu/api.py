@@ -216,6 +216,13 @@ class SCS:
         # so by here stg.dtype is always executable on this backend —
         # including the f32-only Pallas bell kernel (VERDICT r2 item 2a).
 
+        # Instrumented mode: real per-phase timers + one CSV row / verbose
+        # line PER ITERATION (reference per-iteration trace, SURVEY §5)
+        # require check_interval=1 so every device round-trip is exactly
+        # one iteration.
+        if self.stg.phase_timing == "always":
+            self.stg.check_interval = 1
+
         spec = ConeSpec.from_dict(cone)
         if spec.dim != m:
             raise ValueError(
@@ -299,6 +306,7 @@ class SCS:
                 Ah, Ph, bh, ch, spec_hat = A_dense, P_dense, b, c, spec
         self._scal = scal
         self._spec_hat = spec_hat
+        self._sc_prod = float(np.asarray(scal.sc_b) * np.asarray(scal.sc_c))
 
         self.mats = Mats(
             bell=bell,
@@ -391,9 +399,14 @@ class SCS:
         core, mats, stg = self.core, self.mats, self.stg
         t0 = time.perf_counter()
 
+        # every path below reuses the cached cold-start state (and with
+        # it the numeric factorization computed at __init__/update time —
+        # reference scs_update/warm-solve semantics, scsobject.h:1216-1219):
+        # no Cholesky runs after construction unless adaptive rescale
+        # triggers one inside the solve.
         if warm_start and (x is not None or y is not None or s is not None):
             warm_u, warm_v = self._warm_state(x, y, s)
-            state = core.init_state(mats, warm_u, warm_v)
+            state = core.with_warm(self._state0, warm_u, warm_v)
         elif warm_start and self._warm is not None:
             warm_u, warm_v, warm_scale = self._warm
             # the stored v lives in the final adaptive-scale metric; map its
@@ -401,9 +414,9 @@ class SCS:
             n, m = self.n, self.m
             warm_v = np.asarray(warm_v).copy()
             warm_v[n : n + m] *= float(self.stg.scale) / float(warm_scale)
-            state = core.init_state(mats, warm_u, warm_v)
+            state = core.with_warm(self._state0, warm_u, warm_v)
         else:
-            state = core.init_state(mats)
+            state = self._state0
 
         interrupted = False
         verbose = stg.verbose
@@ -421,40 +434,16 @@ class SCS:
                 "1.0.0",
             )
 
-        # Pipelined host-chunked loop: dispatch chunk k+1 asynchronously
-        # BEFORE synchronizing on chunk k's status, so the device never
-        # idles on the host round-trip, while the host stays responsive —
-        # a KeyboardInterrupt lands between device calls and maps to the
-        # SIGINT status exactly like the reference's ctrlc.c handler
-        # (SURVEY §2.3; the reference polls an interrupt flag inside its C
-        # loop with the GIL released).
+        self._measured_phases = None
+        self._last_state = state
         try:
-            state = core._jit_chunk(state, mats)
-            while True:
-                nxt = core._jit_chunk(state, mats)  # speculative dispatch
-                done = (
-                    int(state.status) != info_mod.UNFINISHED
-                    or int(state.it) >= stg.max_iters
-                )
-                el = time.perf_counter() - t0
-                if verbose:
-                    d = state.diag
-                    print_iter_line(
-                        int(state.it),
-                        float(d.res_pri),
-                        float(d.res_dual),
-                        float(d.gap),
-                        float(d.pobj),
-                        float(state.scale),
-                        el,
-                    )
-                if csv is not None:
-                    self._write_csv_row(csv, state, el)
-                if done or (stg.time_limit_secs and el > stg.time_limit_secs):
-                    break
-                state = nxt
+            if stg.phase_timing == "always":
+                state = self._instrumented_loop(state, core, mats, stg, csv, verbose, t0)
+            else:
+                state = self._pipelined_loop(state, core, mats, stg, csv, verbose, t0)
         except KeyboardInterrupt:
             interrupted = True
+            state = self._last_state if self._last_state is not None else state
         finally:
             if csv is not None:
                 csv.close()
@@ -465,49 +454,138 @@ class SCS:
             print_footer(out["info"])
         return out
 
-    def _write_csv_row(self, csv, state, elapsed):
-        d = state.diag
+    def _pipelined_loop(self, state, core, mats, stg, csv, verbose, t0):
+        """Pipelined host-chunked loop: dispatch chunk k+1 asynchronously
+        BEFORE synchronizing on chunk k's status, so the device never
+        idles on the host round-trip, while the host stays responsive —
+        a KeyboardInterrupt lands between device calls and maps to the
+        SIGINT status exactly like the reference's ctrlc.c handler
+        (SURVEY §2.3; the reference polls an interrupt flag inside its C
+        loop with the GIL released)."""
+        state = core._jit_chunk(state, mats)
+        while True:
+            self._last_state = state
+            nxt = core._jit_chunk(state, mats)  # speculative dispatch
+            p = self._probe_values(state)  # ONE D2H round-trip per chunk
+            done = (
+                int(p[1]) != info_mod.UNFINISHED
+                or int(p[0]) >= stg.max_iters
+            )
+            el = time.perf_counter() - t0
+            if verbose:
+                print_iter_line(
+                    int(p[0]), float(p[2]), float(p[3]), float(p[4]),
+                    float(p[5]), float(p[7]), el,
+                )
+            if csv is not None:
+                self._write_csv_row(csv, p, el)
+            if done or (stg.time_limit_secs and el > stg.time_limit_secs):
+                return state
+            state = nxt
+
+    def _instrumented_loop(self, state, core, mats, stg, csv, verbose, t0):
+        """Per-iteration split-phase loop (phase_timing="always"): each
+        solver phase is its own device dispatch, synchronized and timed,
+        so lin_sys/cone/accel times are REAL accumulated wall-clock (the
+        reference's in-loop timers, scsobject.h:1088-1092) and the CSV
+        gets one row per iteration. Slower than the fused loop — that is
+        the cost of true per-phase timing."""
+        import jax
+
+        pc = time.perf_counter
+        t_lin = t_cone = t_accel = 0.0
+        it_host = int(state.it)
+        trialing = core.lookback > 0
+        while True:
+            self._last_state = state
+            ts = pc()
+            lin = core._jit_step_lin(state, mats)
+            jax.block_until_ready(lin[0])
+            t_lin += pc() - ts
+
+            ts = pc()
+            st1 = core._jit_step_cone(state, *lin, mats)
+            jax.block_until_ready(st1.w)
+            t_cone += pc() - ts
+
+            is_trial = trialing and (it_host + 1) % core.interval == 0
+            ts = pc()
+            state = core._jit_iter_tail(state, st1, mats)
+            jax.block_until_ready(state.w)
+            if is_trial:
+                t_accel += pc() - ts
+            it_host += 1
+
+            state = core._jit_check(state, mats)
+            p = self._probe_values(state)  # ONE D2H round-trip
+            el = pc() - t0
+            done = (
+                int(p[1]) != info_mod.UNFINISHED
+                or int(p[0]) >= stg.max_iters
+            )
+            if verbose:
+                print_iter_line(
+                    int(p[0]), float(p[2]), float(p[3]), float(p[4]),
+                    float(p[5]), float(p[7]), el,
+                )
+            if csv is not None:
+                self._write_csv_row(csv, p, el)
+            if done or (stg.time_limit_secs and el > stg.time_limit_secs):
+                break
+        self._measured_phases = (t_lin, t_cone, t_accel)
+        return state
+
+    def _probe_values(self, state):
+        """Every host-consumed scalar of one check, packed into a SINGLE
+        device array (one compiled op, Core._probe) so each chunk costs
+        ONE device->host round-trip (36 individual float() fetches are
+        36 round-trips on a remote TPU)."""
+        return np.asarray(self.core._jit_probe(state), np.float64)
+
+    def _write_csv_row(self, csv, p, elapsed):
+        """Write one CSV row from a packed probe array (see
+        _probe_values)."""
         # kappa in original units: kap_hat = v_tau lives in the normalized
         # embedding; un-scale like the objective (1/(sc_b*sc_c))
-        sc = float(self.mats.sc_b) * float(self.mats.sc_c)
-        tau = float(state.u[-1])
-        kap_hat = float(state.v[-1])
+        sc = self._sc_prod
+        tau = float(p[15])
+        kap_hat = float(p[16])
         vals = {
-            "iter": int(state.it),
-            "res_pri": float(d.res_pri),
-            "res_dual": float(d.res_dual),
-            "gap": float(d.gap),
-            "ax_s_btau_nrm_inf": float(d.ax_s_btau_inf),
-            "px_aty_ctau_nrm_inf": float(d.px_aty_ctau_inf),
-            "ax_s_btau_nrm_2": float(d.ax_s_btau_2),
-            "px_aty_ctau_nrm_2": float(d.px_aty_ctau_2),
-            "res_infeas": float(d.res_infeas),
-            "res_unbdd_a": float(d.res_unbdd_a),
-            "res_unbdd_p": float(d.res_unbdd_p),
-            "pobj": float(d.pobj),
-            "dobj": float(d.dobj),
+            "iter": int(p[0]),
+            "res_pri": float(p[2]),
+            "res_dual": float(p[3]),
+            "gap": float(p[4]),
+            "ax_s_btau_nrm_inf": float(p[8]),
+            "px_aty_ctau_nrm_inf": float(p[9]),
+            "ax_s_btau_nrm_2": float(p[10]),
+            "px_aty_ctau_nrm_2": float(p[11]),
+            "res_infeas": float(p[12]),
+            "res_unbdd_a": float(p[13]),
+            "res_unbdd_p": float(p[14]),
+            "pobj": float(p[5]),
+            "dobj": float(p[6]),
             "tau": tau,
             "kap": kap_hat / max(sc, 1e-300),
-            "res_pri_normalized": float(d.res_pri_norm),
-            "res_dual_normalized": float(d.res_dual_norm),
-            "gap_normalized": float(d.gap_norm),
-            "ax_s_btau_nrm_inf_normalized": float(d.ax_s_btau_inf_norm),
-            "px_aty_ctau_nrm_inf_normalized": float(d.px_aty_ctau_inf_norm),
-            "ax_s_btau_nrm_2_normalized": float(d.ax_s_btau_2_norm),
-            "px_aty_ctau_nrm_2_normalized": float(d.px_aty_ctau_2_norm),
-            "res_infeas_normalized": float(d.res_infeas_norm),
-            "res_unbdd_a_normalized": float(d.res_unbdd_a_norm),
-            "res_unbdd_p_normalized": float(d.res_unbdd_p_norm),
-            "pobj_normalized": float(d.pobj_norm),
-            "dobj_normalized": float(d.dobj_norm),
+            "res_pri_normalized": float(p[17]),
+            "res_dual_normalized": float(p[18]),
+            "gap_normalized": float(p[19]),
+            "ax_s_btau_nrm_inf_normalized": float(p[20]),
+            "px_aty_ctau_nrm_inf_normalized": float(p[21]),
+            "ax_s_btau_nrm_2_normalized": float(p[22]),
+            "px_aty_ctau_nrm_2_normalized": float(p[23]),
+            "res_infeas_normalized": float(p[24]),
+            "res_unbdd_a_normalized": float(p[25]),
+            "res_unbdd_p_normalized": float(p[26]),
+            "pobj_normalized": float(p[27]),
+            "dobj_normalized": float(p[28]),
             "tau_normalized": tau,
             "kap_normalized": kap_hat,
-            "scale": float(state.scale),
-            "diff_u_ut_nrm_2": float(state.diff_u_ut_2),
-            "diff_v_v_prev_nrm_2": float(state.diff_v_2),
-            "diff_u_ut_nrm_inf": float(state.diff_u_ut_inf),
-            "diff_v_v_prev_nrm_inf": float(state.diff_v_inf),
-            "aa_norm": float(state.aa.last_aa_norm),
+            "scale": float(p[7]),
+            "diff_u_ut_nrm_2": float(p[29]),
+            "diff_v_v_prev_nrm_2": float(p[30]),
+            "diff_u_ut_nrm_inf": float(p[31]),
+            "diff_v_v_prev_nrm_inf": float(p[32]),
+            "aa_norm": float(p[33]),
             "time": float(elapsed),
         }
         csv.write_row(vals)
@@ -580,15 +658,16 @@ class SCS:
         if core.lookback == 0:
             aa_stats = info_mod.default_aa_stats()
 
-        # per-phase timing: measured per-call device times (Core.phase_times
-        # calibration) x the realized phase counts. "auto" measures when the
-        # calibration compile is amortized (verbose or non-trivial solve).
+        # per-phase timing. phase_timing="always" ran the instrumented
+        # loop: REAL accumulated per-phase wall-clock (reference
+        # scsobject.h:1088-1092). "auto" estimates from a measured
+        # per-call calibration x the realized phase counts (cheap, but an
+        # estimate — documented in Core.phase_times).
         lin_sys_time = cone_time = accel_time = 0.0
         stg = self.stg
-        measure = stg.phase_timing == "always" or (
-            stg.phase_timing == "auto" and (stg.verbose or solve_time > 0.3)
-        )
-        if measure:
+        if self._measured_phases is not None:
+            lin_sys_time, cone_time, accel_time = self._measured_phases
+        elif stg.phase_timing == "auto" and (stg.verbose or solve_time > 0.3):
             pt = core.phase_times(state, mats)
             # each iteration does one linear projection + one cone
             # projection; each AA trial adds a candidate solve + safeguard
@@ -654,9 +733,10 @@ class SCS:
                 norm_c=jnp.asarray(np.linalg.norm(c), self._dtype),
             )
         self.mats = mats
-        # g depends on (b, c): refresh it (factorization is reused — the
-        # parametric-solve fast path)
-        self._state0 = self.core.init_state(self.mats)
+        # g depends on (b, c): recompute it with the CACHED factor — the
+        # parametric-solve fast path (no Cholesky in this program; see
+        # Core._init_from_factor)
+        self._state0 = self.core.init_from_factor(self.mats, self._state0.L)
 
 
 def solve(data, cone, **settings):

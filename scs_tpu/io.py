@@ -58,8 +58,13 @@ class CsvLogger:
         self.f.write(",".join(CSV_COLUMNS) + ",\n")
 
     def write_row(self, values: dict):
-        row = [repr(float(values.get(c, 0.0))) for c in CSV_COLUMNS]
-        self.f.write(",".join(row) + ",\n")
+        def fmt(c):
+            v = values.get(c, 0.0)
+            # integer columns (iter) stay integers, like the reference's
+            # %i writer
+            return repr(v) if isinstance(v, int) else repr(float(v))
+
+        self.f.write(",".join(fmt(c) for c in CSV_COLUMNS) + ",\n")
 
     def close(self):
         self.f.flush()

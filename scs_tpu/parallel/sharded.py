@@ -54,11 +54,16 @@ class ShardedSCS(SCS):
         n_dev = int(np.prod(list(mesh.shape.values())))
 
         # matrix-free CG is the strategy that shards: no (n, n) dense
-        # factor, and every operator touch is an A / A^T matvec
+        # factor, and every operator touch is an A / A^T matvec. The
+        # Pallas block-ELL pack is NOT sharded by this class (its tile
+        # arrays would need shard_map plumbing) — reject "bell" rather
+        # than silently replicating the pack on every device.
         strategy = settings.setdefault("solver_strategy", "indirect")
-        if strategy not in ("indirect", "bell"):
+        if strategy != "indirect":
             raise ValueError(
-                "ShardedSCS requires a matrix-free strategy ('indirect')"
+                "ShardedSCS requires solver_strategy='indirect' (dense "
+                "row-sharded A + psum-CG); the block-ELL 'bell' pack is "
+                "not sharded by this class"
             )
 
         b = np.asarray(

@@ -263,10 +263,40 @@ class Core:
         self.interval = int(stg.acceleration_interval)
 
         self._jit_init = jax.jit(_hp(self._init_pure))
+        self._jit_init_from_factor = jax.jit(_hp(self._init_from_factor))
         self._jit_chunk = jax.jit(_hp(self._chunk))
-        self._jit_run = jax.jit(_hp(self._run), static_argnums=(2,))
         self._jit_finalize = jax.jit(_hp(self._finalize))
+        # instrumented-mode split dispatches (phase_timing="always"):
+        # each solver phase runs as its own program so the host can
+        # accumulate REAL per-phase wall-clock (reference
+        # scsobject.h:1088-1092 semantics), at the cost of lost fusion.
+        self._jit_step_lin = jax.jit(_hp(self._step_lin))
+        self._jit_step_cone = jax.jit(_hp(self._step_cone))
+        self._jit_iter_tail = jax.jit(_hp(self._iter_tail))
+        self._jit_check = jax.jit(_hp(self._check))
+        self._jit_probe = jax.jit(self._probe)
         self._phase_cache = None
+
+    def _probe(self, state: State):
+        """Every host-consumed scalar of one check packed into ONE array:
+        a single compiled op + a single D2H round-trip per chunk (order
+        consumed by api.SCS._write_csv_row / the verbose line)."""
+        d = state.diag
+        vals = [
+            state.it, state.status,
+            d.res_pri, d.res_dual, d.gap, d.pobj, d.dobj, state.scale,
+            d.ax_s_btau_inf, d.px_aty_ctau_inf, d.ax_s_btau_2,
+            d.px_aty_ctau_2, d.res_infeas, d.res_unbdd_a, d.res_unbdd_p,
+            state.u[-1], state.v[-1],
+            d.res_pri_norm, d.res_dual_norm, d.gap_norm,
+            d.ax_s_btau_inf_norm, d.px_aty_ctau_inf_norm,
+            d.ax_s_btau_2_norm, d.px_aty_ctau_2_norm,
+            d.res_infeas_norm, d.res_unbdd_a_norm, d.res_unbdd_p_norm,
+            d.pobj_norm, d.dobj_norm,
+            state.diff_u_ut_2, state.diff_v_2, state.diff_u_ut_inf,
+            state.diff_v_inf, state.aa.last_aa_norm,
+        ]
+        return jnp.stack([jnp.asarray(v, self.dtype) for v in vals])
 
     # -- cone handling ----------------------------------------------------
 
@@ -419,37 +449,62 @@ class Core:
 
     # -- setup ------------------------------------------------------------
 
-    def _setup(self, mats: Mats, scale):
-        """Factorize and compute g for the given scale."""
-        ry = self._ry(scale)
-        dy = 1.0 / ry
+    def _factorize(self, mats: Mats, scale):
+        """Numeric factorization for the given scale (the expensive,
+        b/c-independent half of setup — reused across solves/updates,
+        reference scs_update semantics per SURVEY §3.3)."""
         if self.indirect:
-            L = jnp.zeros((0, 0), self.dtype)
-            rhs = mats.cn - self._ATy(mats, dy * mats.bn)
+            return jnp.zeros((0, 0), self.dtype)
+        dy = 1.0 / self._ry(scale)
+        S = self._build_S(mats, dy)
+        chol = jnp.linalg.cholesky(S)
+        if self.use_inverse:
+            # L := S^-1 (SPD, equilibrated; one-time n^3, then matvecs)
+            return jax.scipy.linalg.cho_solve(
+                (chol, True), jnp.eye(self.n, dtype=self.dtype)
+            )
+        return chol
+
+    def _compute_g(self, mats: Mats, scale, L):
+        """g = solve(S, c - A' D_y b) and its y image — the (b, c)-
+        dependent half of setup, recomputed on update(b, c) while the
+        factor L is reused."""
+        dy = 1.0 / self._ry(scale)
+        rhs = mats.cn - self._ATy(mats, dy * mats.bn)
+        if self.indirect:
             gx, _ = self._cg(
                 mats, dy, rhs, jnp.zeros(self.n, self.dtype),
                 self.stg.cg_tol_min * 10, scale,
             )
         elif self.use_inverse:
-            S = self._build_S(mats, dy)
-            chol = jnp.linalg.cholesky(S)
-            L = jax.scipy.linalg.cho_solve(
-                (chol, True), jnp.eye(self.n, dtype=self.dtype)
-            )  # L := S^-1 (SPD, equilibrated; one-time n^3, then matvecs)
-            gx = L @ (mats.cn - mats.A.T @ (dy * mats.bn))
+            gx = L @ rhs
         else:
-            S = self._build_S(mats, dy)
-            L = jnp.linalg.cholesky(S)
-            gx = jax.scipy.linalg.cho_solve(
-                (L, True), mats.cn - mats.A.T @ (dy * mats.bn)
-            )
+            gx = jax.scipy.linalg.cho_solve((L, True), rhs)
         gy = dy * (mats.bn + self._Ax(mats, gx))
+        return gx, gy
+
+    def _setup(self, mats: Mats, scale):
+        """Factorize and compute g for the given scale."""
+        L = self._factorize(mats, scale)
+        gx, gy = self._compute_g(mats, scale, L)
         return L, gx, gy
 
     def _init_pure(self, mats: Mats):
         """Cold-start state; fully traceable (vmap/pjit-friendly)."""
         scale = jnp.asarray(self.stg.scale, self.dtype)
         L, gx, gy = self._setup(mats, scale)
+        return self._fresh_state(L, gx, gy, scale)
+
+    def _init_from_factor(self, mats: Mats, L):
+        """Cold-start state REUSING an existing factorization — the
+        update(b, c) fast path: only g (b/c-dependent) is recomputed; no
+        Cholesky appears in this program (tested via jaxpr inspection,
+        tests/test_coverage.py)."""
+        scale = jnp.asarray(self.stg.scale, self.dtype)
+        gx, gy = self._compute_g(mats, scale, L)
+        return self._fresh_state(L, gx, gy, scale)
+
+    def _fresh_state(self, L, gx, gy, scale):
         N = self.N
         u = jnp.zeros(N, self.dtype).at[-1].set(1.0)
         v = jnp.zeros(N, self.dtype)
@@ -500,23 +555,42 @@ class Core:
 
     def init_state(self, mats: Mats, warm_u=None, warm_v=None):
         state = self._jit_init(mats)
-        if warm_u is not None:
-            u = jnp.asarray(warm_u, self.dtype)
-            v = jnp.asarray(warm_v, self.dtype)
-            w = u + v
-            state = state._replace(
-                w=w,
-                u=u,
-                v=v,
-                aa=state.aa._replace(zeta_prev=w),
-            )
-        return state
+        return self.with_warm(state, warm_u, warm_v)
+
+    def init_from_factor(self, mats: Mats, L):
+        """Fresh state reusing factor L (update fast path, no Cholesky)."""
+        return self._jit_init_from_factor(mats, L)
+
+    @staticmethod
+    def with_warm(state0: State, warm_u=None, warm_v=None):
+        """Overlay a warm (u, v) onto a cached cold-start state — no
+        device compute beyond the elementwise add (the factorization and
+        g inside state0 are reused as-is)."""
+        if warm_u is None:
+            return state0
+        u = jnp.asarray(warm_u, state0.u.dtype)
+        v = jnp.asarray(warm_v, state0.v.dtype)
+        w = u + v
+        return state0._replace(
+            w=w,
+            u=u,
+            v=v,
+            aa=state0.aa._replace(zeta_prev=w),
+        )
 
     # -- one DR iteration -------------------------------------------------
 
     def _step(self, state: State, mats: Mats):
         """One relaxed DR step on w (SURVEY.md §3.2 steps 1-4):
-        u_t = (R+Q)^-1 R w;  u = Pi_C(2 u_t - w);  w+ = w + alpha(u - u_t)."""
+        u_t = (R+Q)^-1 R w;  u = Pi_C(2 u_t - w);  w+ = w + alpha(u - u_t).
+
+        Split into _step_lin (linear projection incl. tau recovery — the
+        reference's lin_sys phase) and _step_cone (reflection + cone
+        projection + dual update — the cone phase) so the instrumented
+        timing mode can dispatch and time them separately."""
+        return self._step_cone(state, *self._step_lin(state, mats), mats)
+
+    def _step_lin(self, state: State, mats: Mats):
         n, m = self.n, self.m
         stg = self.stg
         w = state.w
@@ -567,6 +641,12 @@ class Core:
         tau = jnp.maximum(tau, 0.0)
 
         ut = jnp.concatenate([px - tau * gx, py - tau * gy, tau[None]])
+        return ut, px, cg_k
+
+    def _step_cone(self, state: State, ut, px, cg_k, mats: Mats):
+        n, m = self.n, self.m
+        stg = self.stg
+        w = state.w
         refl = 2.0 * ut - w
         uy = refl[n : n + m] + self._proj_with_bounds(
             -refl[n : n + m], mats.bl, mats.bu
@@ -651,6 +731,12 @@ class Core:
     def _iter_body(self, state: State, mats: Mats):
         """One iteration: plain step, AA bookkeeping, periodic AA trial."""
         st1 = self._step(state, mats)
+        return self._iter_tail(state, st1, mats)
+
+    def _iter_tail(self, state: State, st1: State, mats: Mats):
+        """AA bookkeeping + periodic trial, given the plain-step result
+        (separated so the instrumented mode can time the plain step's
+        lin/cone halves and the accel trial as distinct dispatches)."""
         zeta = state.w
         f = st1.w - zeta  # fixed-point residual of the DR map at w
 
@@ -1090,15 +1176,6 @@ class Core:
 
         state = lax.fori_loop(0, k, body, state)
         return self._check(state, mats)
-
-    def _run(self, state: State, mats: Mats, max_iters: int):
-        def cond(s):
-            return (s.status == UNFINISHED) & (s.it < max_iters)
-
-        def body(s):
-            return self._chunk(s, mats)
-
-        return lax.while_loop(cond, body, state)
 
     # -- finalization ------------------------------------------------------
 

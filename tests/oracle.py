@@ -336,10 +336,12 @@ def proj_logdet(z, n):
             w,
         )
 
-    # inside check (closure-aware)
+    # inside check (closure-aware, scale-relative tolerance: an absolute
+    # 1e-14 misclassifies large-magnitude boundary points)
     if v0 > 0 and np.all(w0 >= 0):
         sl0, _ = slog_at(0.0, v0)
-        if t0 <= v0 * sl0 + 1e-14:
+        tol_in = 1e-12 * max(1.0, abs(t0), abs(v0 * sl0))
+        if t0 <= v0 * sl0 + tol_in:
             return np.asarray(z, float).copy()
     if v0 == 0 and np.all(w0 >= 0) and t0 <= 0:
         return np.asarray(z, float).copy()
@@ -379,6 +381,9 @@ def proj_logdet(z, n):
     # system has no root (phi keeps one sign: slog stays bounded as v->0)
     # — the projection then lies on the v = 0 facet, so candidate C is
     # marked infeasible (infinite distance) and candidate D wins below.
+    # brentq raises RuntimeError on non-convergence (observed on ~0.1%
+    # of random inputs) and ValueError on bad brackets — both must fall
+    # through to the other candidates, not crash the oracle
     try:
         mu_hi = 1.0
         for _ in range(200):
@@ -393,18 +398,97 @@ def proj_logdet(z, n):
         vC = solve_v(mu)
         _, wC = slog_at(mu, vC)
         tC = t0 - mu
-    except ValueError:
+        # Validate candidate C: the outer h() is discontinuous where the
+        # inner phi root vanishes, so brentq can converge onto the jump
+        # instead of a root, returning an INFEASIBLE non-projection
+        # (violating t <= v*slog by O(1)). Only a verified root that is
+        # actually in the cone may compete on distance.
+        scale_h = max(1.0, abs(t0), abs(vC))
+        if abs(h(mu)) > 1e-6 * scale_h or not _logdet_feasible(
+            tC, vC, wC, fn
+        ):
+            tC, vC, wC = np.inf, np.inf, np.full_like(w0, np.inf)
+    except (ValueError, RuntimeError):
         tC, vC, wC = np.inf, np.inf, np.full_like(w0, np.inf)
 
     # v = 0 facet candidate: {t <= 0, v = 0, X PSD}
     tD, vD, wD = min(t0, 0.0), 0.0, np.maximum(w0, 0.0)
 
-    dC = (tC - t0) ** 2 + (vC - v0) ** 2 + np.sum((wC - w0) ** 2)
-    dD = (tD - t0) ** 2 + (vD - v0) ** 2 + np.sum((wD - w0) ** 2)
-    t, v, w = (tD, vD, wD) if dD < dC else (tC, vC, wC)
+    # guaranteed-feasible fallback candidate: direct SLSQP solve of the
+    # projection in (t, v, w) space (like proj_sumlargest) — keeps the
+    # oracle returning the nearest FEASIBLE point even when the
+    # root-finding candidate is rejected
+    tE, vE, wE = _logdet_slsqp(t0, v0, w0, fn)
+
+    cands = [(tC, vC, wC), (tD, vD, wD), (tE, vE, wE)]
+    dists = [
+        (tc - t0) ** 2 + (vc - v0) ** 2 + np.sum((wc - w0) ** 2)
+        for tc, vc, wc in cands
+    ]
+    t, v, w = cands[int(np.argmin(dists))]
 
     Xp = (V * w) @ V.T
     return np.concatenate([[t, v], _pack_sym(Xp)])
+
+
+def _logdet_feasible(t, v, w, fn, tol_scale=1e-8):
+    """Closure membership check for (t, v, eigvals) in the logdet cone."""
+    if not np.all(np.isfinite(w)) or not np.isfinite(v) or not np.isfinite(t):
+        return False
+    tol = tol_scale * max(1.0, abs(t), abs(v))
+    if v < -tol or np.any(w < -tol):
+        return False
+    if v <= tol:
+        return t <= tol
+    slog = float(np.sum(np.log(np.maximum(w, 1e-300)))) - fn * np.log(v)
+    return t <= v * slog + tol_scale * max(1.0, abs(t), abs(v * slog))
+
+
+def _logdet_slsqp(t0, v0, w0, fn):
+    """Nearest point in the logdet cone via SLSQP on (t, v, w) —
+    independent fallback formulation (cf. proj_sumlargest)."""
+    from scipy.optimize import minimize
+
+    n = len(w0)
+
+    def obj(x):
+        return (x[0] - t0) ** 2 + (x[1] - v0) ** 2 + np.sum(
+            (x[2:] - w0) ** 2
+        )
+
+    def jac(x):
+        g = 2.0 * (x - np.concatenate([[t0, v0], w0]))
+        return g
+
+    def con(x):
+        v = max(x[1], 1e-12)
+        w = np.maximum(x[2:], 1e-12)
+        return v * (np.sum(np.log(w)) - fn * np.log(v)) - x[0]
+
+    x0 = np.concatenate(
+        [[min(t0, 0.0), max(v0, 1e-6)], np.maximum(w0, 1e-6)]
+    )
+    best = None
+    for trial in range(3):
+        res = minimize(
+            obj,
+            x0,
+            jac=jac,
+            method="SLSQP",
+            constraints=[{"type": "ineq", "fun": con}],
+            bounds=[(None, None), (0.0, None)] + [(0.0, None)] * n,
+            options={"maxiter": 500, "ftol": 1e-14},
+        )
+        cand = res.x
+        if _logdet_feasible(cand[0], cand[1], cand[2:], fn, 1e-6) and (
+            best is None or obj(cand) < obj(best)
+        ):
+            best = cand
+        x0 = x0 * (1.0 + 0.05 * (trial + 1)) + 1e-3
+    if best is None:
+        # always-feasible last resort: the origin facet point
+        return min(t0, 0.0), 0.0, np.maximum(w0, 0.0)
+    return float(best[0]), float(best[1]), best[2:]
 
 
 def proj_nuclear(z, mm, nn):
@@ -468,9 +552,28 @@ def proj_sumlargest(z, n, k):
         },
         {"type": "ineq", "fun": lambda vv: vv[n + 2 :]},  # zeta >= 0
     ]
-    res = minimize(
-        obj, x0, jac=jac, constraints=cons, method="SLSQP",
-        options={"maxiter": 500, "ftol": 1e-16},
+    def feasible(vv):
+        # the lifted constraints imply s_k(w) <= t; check the implied
+        # constraint directly (SLSQP can stop with benign non-success
+        # statuses like "positive directional derivative" at optimum)
+        t, w = float(vv[0]), vv[1 : n + 1]
+        tol = 1e-7 * max(1.0, abs(t))
+        return sum_k_largest(w, k) <= t + tol
+
+    res = None
+    for trial in range(3):
+        res = minimize(
+            obj, x0, jac=jac, constraints=cons, method="SLSQP",
+            options={"maxiter": 500, "ftol": 1e-16},
+        )
+        if feasible(res.x):
+            break
+        # retry from a perturbed start so an SLSQP failure surfaces as
+        # an oracle error, never as a silent infeasible "projection"
+        x0 = x0 + 1e-3 * (trial + 1) * (1.0 + np.abs(x0))
+    assert res is not None and feasible(res.x), (
+        f"proj_sumlargest oracle: SLSQP returned an infeasible point "
+        f"after retries: {res.message}"
     )
     t, w = float(res.x[0]), res.x[1 : n + 1]
     Xp = (V * w) @ V.T

@@ -517,3 +517,95 @@ def test_reference_k_mix():
     assert abs(s @ y) < 1e-4
     np.testing.assert_allclose(s, oracle.proj_cone(s, K), atol=1e-4)
     np.testing.assert_allclose(y, oracle.proj_dual_cone(y, K), atol=1e-4)
+
+
+# -- factorization reuse (reference scs_update semantics, SURVEY §3.3) ----
+
+
+def _small_qp(seed=3):
+    rng = np.random.RandomState(seed)
+    m, n = 30, 20
+    A = rng.randn(m, n) / np.sqrt(m)
+    x0 = rng.randn(n)
+    b = A @ x0 + np.abs(rng.randn(m))
+    c = rng.randn(n) * 0.1
+    G = rng.randn(n, 4)
+    P = G @ G.T * 0.1 + 1e-3 * np.eye(n)
+    return {
+        "A": sp.csc_matrix(A),
+        "b": b,
+        "c": c,
+        "P": sp.csc_matrix(np.triu(P)),
+    }, m, n
+
+
+def test_update_path_has_no_cholesky():
+    """update(b, c) must reuse the numeric factor: the jaxpr of the
+    factor-reusing init program contains no Cholesky, while the full init
+    does (VERDICT r2 item 4; reference scsobject.h:1216-1219)."""
+    import jax
+
+    data, m, n = _small_qp()
+    solver = scs.SCS(data, {"l": m}, verbose=False, solver_strategy="direct")
+    core, mats = solver.core, solver.mats
+    full = str(jax.make_jaxpr(core._init_pure)(mats))
+    reuse = str(
+        jax.make_jaxpr(core._init_from_factor)(mats, solver._state0.L)
+    )
+    assert "cholesky" in full
+    assert "cholesky" not in reuse
+    assert "triangular_solve" in reuse  # g is recomputed via the factor
+
+
+def test_repeat_solve_reuses_setup():
+    """A second solve() and a post-update solve must not re-run the full
+    init program (the factorization cache is self._state0)."""
+    data, m, n = _small_qp()
+    solver = scs.SCS(
+        data, {"l": m}, verbose=False, eps_abs=1e-7, eps_rel=1e-7
+    )
+
+    calls = {"n": 0}
+    orig = solver.core._jit_init
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    solver.core._jit_init = counting
+    try:
+        s1 = solver.solve(warm_start=False)
+        s2 = solver.solve()  # warm
+        solver.update(b=data["b"] * 1.1)
+        s3 = solver.solve(warm_start=False)
+    finally:
+        solver.core._jit_init = orig
+    assert calls["n"] == 0, "solve()/update() re-ran the full init program"
+    assert s1["info"]["status"] == "solved"
+    assert s3["info"]["status"] == "solved"
+    # the post-update solution tracks the perturbed problem
+    A = data["A"].toarray()
+    assert np.linalg.norm(A @ s3["x"] + s3["s"] - 1.1 * data["b"]) < 1e-3
+
+
+def test_update_after_solve_correct_objective():
+    """Sequential updates track optima with the reused factor
+    (reference test_scs_coverage.py:1226-1238 analogue)."""
+    data, m, n = _small_qp(seed=11)
+    solver = scs.SCS(
+        data, {"l": m}, verbose=False, eps_abs=1e-8, eps_rel=1e-8
+    )
+    for fac in (1.0, 1.3, 0.7):
+        solver.update(c=data["c"] * fac)
+        got = solver.solve(warm_start=False)
+        fresh = scs.solve(
+            {**data, "c": data["c"] * fac},
+            {"l": m},
+            verbose=False,
+            eps_abs=1e-8,
+            eps_rel=1e-8,
+        )
+        assert got["info"]["status"] == "solved"
+        assert_almost_equal(
+            got["info"]["pobj"], fresh["info"]["pobj"], decimal=4
+        )

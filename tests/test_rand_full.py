@@ -18,6 +18,9 @@ import scs_tpu as scs
 
 import oracle
 
+# full-depth sweeps: ~3 minutes of the suite's budget on their own
+pytestmark = pytest.mark.slow
+
 num_feas = 50
 num_unb = 10
 num_infeas = 10
