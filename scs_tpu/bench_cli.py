@@ -177,6 +177,19 @@ def bench_batched_qp():
                 Ai, Pi, bi, ci = gen_batch_device(bsz, m, n, seed=1234 + i)
                 gen_time += time.perf_counter() - t_g
                 data = {"A": Ai, "P": Pi, "b": bi, "c": ci}
+            extra = {}
+            if os.environ.get("BENCH_COMPACT_INTERVAL"):
+                extra["batch_compact_interval"] = int(
+                    os.environ["BENCH_COMPACT_INTERVAL"]
+                )
+            if os.environ.get("BENCH_CHECK_INTERVAL"):
+                extra["check_interval"] = int(
+                    os.environ["BENCH_CHECK_INTERVAL"]
+                )
+            if os.environ.get("BENCH_AA_LOOKBACK"):
+                extra["acceleration_lookback"] = int(
+                    os.environ["BENCH_AA_LOOKBACK"]
+                )
             solvers.append(
                 BatchedSCS(
                     data,
@@ -186,6 +199,7 @@ def bench_batched_qp():
                     eps_rel=eps,
                     max_iters=20000,
                     verbose=False,
+                    **extra,
                 )
             )
         return solvers
@@ -323,10 +337,32 @@ def bench_bell():
     eps = float(os.environ.get("BENCH_EPS", "1e-4"))
     rng = np.random.RandomState(7)
 
-    def gen_lp(m, n, density):
-        # block-structured sparsity (realistic for network/assignment LPs;
-        # gives the block-ELL layout genuine empty tiles)
-        A = sp.random(m, n, density=density, random_state=rng, format="csc")
+    def gen_lp(m, n, density, bs=128, width=6):
+        # GENUINELY block-structured sparsity (network/assignment-style
+        # LPs): each 128-row block touches `width` random 128-column
+        # tiles. An unstructured sp.random at density 0.002 puts ~33 nnz
+        # in EVERY (128,128) tile, degenerating the block-ELL pack to
+        # dense storage (round-2 workload bug); this one keeps the pack
+        # at width/nbc (~4%) of dense, which is the regime the bell
+        # strategy exists for (the AUTO heuristic, api._block_ell_stats,
+        # agrees).
+        nbr, nbc = -(-m // bs), -(-n // bs)
+        tile_density = min(1.0, density * nbc / width)
+        per_tile = max(1, int(tile_density * bs * bs))
+        rows_l, cols_l = [], []
+        for r in range(nbr):
+            tiles = rng.choice(nbc, min(width, nbc), replace=False)
+            rr = rng.randint(0, bs, size=per_tile * len(tiles))
+            cc = rng.randint(0, bs, size=per_tile * len(tiles))
+            tb = np.repeat(tiles, per_tile)
+            rows_l.append(r * bs + rr)
+            cols_l.append(tb * bs + cc)
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        keep = (rows < m) & (cols < n)  # ragged edge tiles
+        rows, cols = rows[keep], cols[keep]
+        vals = rng.randn(len(rows))
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
         A = A + sp.eye(m, n, format="csc")  # full row rank
         x0 = rng.randn(n)
         s = np.abs(rng.randn(m))
@@ -335,15 +371,18 @@ def bench_bell():
         c = -(A.T @ y)
         return {"A": sp.csc_matrix(A), "b": b, "c": c}
 
-    # agreement check on a small instance: bell vs direct
+    # agreement check on a small instance: bell vs direct. eps=1e-5 is
+    # the f32 accuracy envelope on TPU (the DR residual floors around
+    # 3e-4 absolute here; see the dtype policy in settings.py) — the
+    # solve itself runs at the reference's default eps=1e-4 anyway.
     small = gen_lp(600, 400, 0.01)
     sol_bell = scs_tpu.solve(
         small, {"l": 600}, solver_strategy="bell", bell_block_size=128,
-        eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+        eps_abs=1e-5, eps_rel=1e-5, verbose=False, max_iters=30000,
     )
     sol_dir = scs_tpu.solve(
         small, {"l": 600}, solver_strategy="direct",
-        eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+        eps_abs=1e-5, eps_rel=1e-5, verbose=False, max_iters=30000,
     )
     assert sol_bell["info"]["status"] == "solved", sol_bell["info"]["status"]
     obj_gap = abs(sol_bell["info"]["pobj"] - sol_dir["info"]["pobj"]) / (

@@ -117,6 +117,13 @@ class Settings:
     cg_rate: float = 2.0
     cg_max_iters: int = 1000
     cg_tol_min: float = 1e-12
+    # Inexact-Krylov slack: CG tolerance = cg_tol_factor x the previous
+    # DR step size (see solver._step_lin). Larger = fewer CG iterations
+    # per linear solve at slightly more DR iterations. 2.0 lands the
+    # measured avg-CG-iterations at the reference indirect backend's
+    # operating point ('avg cg its: 9.73', scs_qp.ipynb cell 20) and was
+    # fastest end-to-end in the on-chip sweep {0.1..8.0}.
+    cg_tol_factor: float = 2.0
     # How many ADMM iterations each on-device chunk runs between host-side
     # checks (verbose print, time limit, SIGINT). Residual/termination checks
     # happen on device at this granularity too.

@@ -472,9 +472,15 @@ class Core:
         dy = 1.0 / self._ry(scale)
         rhs = mats.cn - self._ATy(mats, dy * mats.bn)
         if self.indirect:
+            eps_floor = 3e-7 if self.dtype == jnp.float32 else 1e-14
             gx, _ = self._cg(
-                mats, dy, rhs, jnp.zeros(self.n, self.dtype),
-                self.stg.cg_tol_min * 10, scale,
+                mats, dy, rhs,
+                jnp.zeros(self.n, self.dtype),
+                jnp.maximum(
+                    self.stg.cg_tol_min * 10,
+                    eps_floor * jnp.linalg.norm(rhs),
+                ),
+                scale,
             )
         elif self.use_inverse:
             gx = L @ rhs
@@ -616,11 +622,18 @@ class Core:
         prev_step = jnp.where(
             jnp.isfinite(state.diff_u_ut_2), state.diff_u_ut_2, 1.0
         )
+        # dtype-aware floor: in f32 a tolerance below ~3e-7*||rhs|| is
+        # unreachable — CG stagnates at its roundoff plateau and burns
+        # cg_max_iters every solve (observed: 20 s/chunk on the bell LP)
+        eps_floor = 3e-7 if self.dtype == jnp.float32 else 1e-14
+        rhs_nrm = jnp.linalg.norm(rhs)
         tol = jnp.maximum(
-            stg.cg_tol_min,
+            jnp.maximum(stg.cg_tol_min, eps_floor * rhs_nrm),
             jnp.minimum(
-                1e-3 * jnp.linalg.norm(rhs),
-                0.1 * prev_step * jnp.minimum(1.0, it_f ** (-stg.cg_rate) * 1e3),
+                1e-3 * rhs_nrm,
+                stg.cg_tol_factor
+                * prev_step
+                * jnp.minimum(1.0, it_f ** (-stg.cg_rate) * 1e3),
             ),
         )
         px, cg_k = self._lin_solve(state, mats, rhs, tol)
@@ -1345,6 +1358,7 @@ def get_core(m, n, has_P, spec: ConeSpec, stg: Settings) -> Core:
         stg.lin_refine_steps,
         stg.cg_rate,
         stg.cg_max_iters,
+        stg.cg_tol_factor,
     )
     if key in _CORE_CACHE:
         _CORE_CACHE[key] = _CORE_CACHE.pop(key)  # refresh LRU position

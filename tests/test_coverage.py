@@ -609,3 +609,132 @@ def test_update_after_solve_correct_objective():
         assert_almost_equal(
             got["info"]["pobj"], fresh["info"]["pobj"], decimal=4
         )
+
+
+# -- round-3 coverage growth (VERDICT r2 item 10) --------------------------
+
+
+def test_strategies_agree_tight_qp_soc_sdp():
+    """Cross-strategy agreement at eps=1e-9 on a QP+SOC+SDP mix
+    (reference test_scs_coverage.py:2060-2080 at its tightest eps)."""
+    K = {"z": 1, "l": 3, "q": [3], "s": [3]}
+    data, opt, _ = oracle.gen_feasible(
+        K, n=8, density=0.9, with_P=True, rng=np.random.RandomState(77)
+    )
+    sols = {}
+    for strat in ("direct", "indirect"):
+        s = _solve(
+            data, K, solver_strategy=strat, eps_abs=1e-9, eps_rel=1e-9,
+            max_iters=200000,
+        )
+        assert s["info"]["status"] == "solved", (strat, s["info"]["status"])
+        sols[strat] = s
+    np.testing.assert_allclose(
+        sols["direct"]["x"], sols["indirect"]["x"], atol=1e-6
+    )
+    for strat in sols:
+        assert_almost_equal(sols[strat]["info"]["pobj"], opt, decimal=6)
+
+
+@pytest.mark.parametrize("strategy", ["direct", "indirect"])
+def test_closed_forms_per_strategy(strategy):
+    """Each cone family's closed-form optimum, exercised per strategy
+    (the reference parametrizes its closed-form sections over backends)."""
+    # LP: min x st x >= 1 -> x* = 1 (reference test_scs_coverage.py:23-32)
+    sol = scs.solve(
+        {"A": sp.csc_matrix(np.array([[-1.0]])), "b": np.array([-1.0]),
+         "c": np.array([1.0])},
+        {"l": 1}, verbose=False, solver_strategy=strategy,
+        eps_abs=1e-9, eps_rel=1e-9,
+    )
+    assert sol["info"]["status"] == "solved"
+    assert_almost_equal(sol["x"][0], 1.0, decimal=6)
+
+    # QP: min x^2/2 + x st x >= -0.5 -> x* = -0.5 variant (ref :761-779
+    # uses x*=0.5 with different signs; same mechanics)
+    sol = scs.solve(
+        {"A": sp.csc_matrix(np.array([[-1.0]])), "b": np.array([0.5]),
+         "c": np.array([1.0]),
+         "P": sp.csc_matrix(np.array([[1.0]]))},
+        {"l": 1}, verbose=False, solver_strategy=strategy,
+        eps_abs=1e-9, eps_rel=1e-9,
+    )
+    assert sol["info"]["status"] == "solved"
+    assert_almost_equal(sol["x"][0], -0.5, decimal=6)
+
+    # SOC: min -x1 st ||(x1, x2)|| <= 1, x2 = 0.5 -> x1* = sqrt(3)/2
+    # (reference :1055-1084)
+    A = np.zeros((4, 2))
+    A[0, :] = [0.0, 1.0]      # zero cone: x2 = 0.5
+    A[1:, :] = [[0.0, 0.0], [-1.0, 0.0], [0.0, -1.0]]  # SOC(1, x1, x2)
+    b = np.array([0.5, 1.0, 0.0, 0.0])
+    sol = scs.solve(
+        {"A": sp.csc_matrix(A), "b": b, "c": np.array([-1.0, 0.0])},
+        {"z": 1, "q": [3]}, verbose=False, solver_strategy=strategy,
+        eps_abs=1e-9, eps_rel=1e-9,
+    )
+    assert sol["info"]["status"] == "solved"
+    assert_almost_equal(sol["x"][0], np.sqrt(3.0) / 2.0, decimal=6)
+
+    # exp cone: min t st (1, 1, t) in Kexp -> t* = e (reference :912-951)
+    A = np.zeros((3, 1))
+    A[2, 0] = -1.0
+    b = np.array([1.0, 1.0, 0.0])
+    sol = scs.solve(
+        {"A": sp.csc_matrix(A), "b": b, "c": np.array([1.0])},
+        {"ep": 1}, verbose=False, solver_strategy=strategy,
+        eps_abs=1e-9, eps_rel=1e-9,
+    )
+    assert sol["info"]["status"] == "solved"
+    assert_almost_equal(sol["x"][0], np.e, decimal=5)
+
+
+def test_indeterminate_end_to_end():
+    """A solve whose final iterate carries no signal (tau ~ kappa ~ 0,
+    no certificate at 1e3-relaxed tolerances) must classify as
+    INDETERMINATE through the normal solve path (reference
+    scs/py/__init__.py:20), not just via the unit predicate."""
+    import jax.numpy as jnp
+
+    data, m, n = _small_qp(seed=5)
+    solver = scs.SCS(
+        data, {"l": m}, verbose=False, max_iters=25, eps_abs=1e-12,
+        eps_rel=1e-12,
+    )
+    core = solver.core
+    orig = core._jit_chunk
+
+    def sabotage(state, mats):
+        st = orig(state, mats)
+        scale = 1e-14
+        # collapse the embedding ray: every component -> ~0 with
+        # tau/kappa EXACTLY 0 so no candidate normalizes to a cert
+        return st._replace(
+            u=(st.u * scale).at[-1].set(0.0),
+            v=(st.v * scale).at[-1].set(0.0),
+            w=st.w * scale,
+            u_sum=jnp.zeros_like(st.u_sum),
+            v_sum=jnp.zeros_like(st.v_sum),
+            avg_cnt=jnp.zeros_like(st.avg_cnt),
+            status=jnp.int32(scs.UNFINISHED),
+        )
+
+    core._jit_chunk = sabotage
+    try:
+        sol = solver.solve(warm_start=False)
+    finally:
+        core._jit_chunk = orig
+    assert sol["info"]["status"] == "indeterminate"
+    assert sol["info"]["status_val"] == scs.INDETERMINATE
+
+
+def test_determinism_fresh_instances():
+    """Two fresh instances on identical data produce bit-identical
+    solutions (reference test_scs_coverage.py:2283-2301)."""
+    data, m, n = _small_qp(seed=21)
+    s1 = scs.SCS(data, {"l": m}, verbose=False).solve(warm_start=False)
+    s2 = scs.SCS(data, {"l": m}, verbose=False).solve(warm_start=False)
+    np.testing.assert_array_equal(s1["x"], s2["x"])
+    np.testing.assert_array_equal(s1["y"], s2["y"])
+    np.testing.assert_array_equal(s1["s"], s2["s"])
+    assert s1["info"]["iter"] == s2["info"]["iter"]
