@@ -117,6 +117,14 @@ class BatchedSCS:
         # refinement doubles per-iteration A traffic; the batched flagship
         # workload converges at eps=1e-4 without it (opt in for tight eps)
         settings.setdefault("lin_refine_steps", 0)
+        # on-chip tuned defaults (B=512 flagship sweep): 50-iteration
+        # chunks halve the residual-check overhead, with retirement at
+        # every segment boundary (finer retirement measured ~8% faster
+        # than 100-iteration segments). 50 is also a multiple of
+        # acceleration_interval (10), enabling the trial-aligned chunk
+        # loop (Core._chunk).
+        settings.setdefault("check_interval", 50)
+        settings.setdefault("batch_compact_interval", 1)
         A = data["A"]
         if isinstance(A, (list, tuple)):
             A = np.stack([np.asarray(Ai.todense() if hasattr(Ai, "todense") else Ai) for Ai in A])

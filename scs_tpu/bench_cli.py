@@ -190,6 +190,12 @@ def bench_batched_qp():
                 extra["acceleration_lookback"] = int(
                     os.environ["BENCH_AA_LOOKBACK"]
                 )
+            if os.environ.get("BENCH_AA_INTERVAL"):
+                extra["acceleration_interval"] = int(
+                    os.environ["BENCH_AA_INTERVAL"]
+                )
+            if os.environ.get("BENCH_SCALE"):
+                extra["scale"] = float(os.environ["BENCH_SCALE"])
             solvers.append(
                 BatchedSCS(
                     data,

@@ -76,6 +76,35 @@ def _bell_kernel(cols_ref, blk_ref, x_ref, y_ref):
     )
 
 
+def _bell_kernel_rowmajor(cols_ref, blk_ref, x_ref, y_ref):
+    """One grid step per BLOCK-ROW: the full padded x lives in VMEM and
+    the width loop is unrolled inside the kernel, so the per-grid-step
+    launch overhead (which dominates the one-tile-per-step kernel — each
+    (1,bs)@(bs,bs) is ~0.2 us of DMA but ~2 us of step overhead) is paid
+    nbr times instead of nbr*width times."""
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    i = pl.program_id(0)
+    width = blk_ref.shape[1]
+    bs = blk_ref.shape[-1]
+    acc = jnp.zeros((1, bs), y_ref.dtype)
+    for w in range(width):  # static unroll
+        c = cols_ref[i, w]
+        xt = x_ref[0, pl.dslice(c * bs, bs)].reshape(1, bs)
+        acc = acc + jax.lax.dot(
+            xt,
+            blk_ref[0, w],
+            preferred_element_type=y_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y_ref[0, 0, :] = acc[0]
+
+
+# full-x-in-VMEM is the fast path while x (padded) fits comfortably in
+# VMEM alongside the double-buffered A blocks (~16 MiB total on v5e)
+_BELL_VMEM_X_LIMIT = 2 * 1024 * 1024  # elements (8 MiB f32)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def bell_spmv(blocks, cols, x_pad, *, interpret=False):
     """Pallas TPU block-ELL SpMV. f32 in/out; shapes as bell_spmv_ref.
@@ -92,6 +121,40 @@ def bell_spmv(blocks, cols, x_pad, *, interpret=False):
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
     nbr, width, bs, _ = blocks.shape
+    n_pad = x_pad.shape[0]
+
+    if n_pad <= _BELL_VMEM_X_LIMIT:
+        # fast path: full x resident in VMEM, one grid step per block-row
+        xb = x_pad.reshape(1, n_pad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbr,),
+            in_specs=[
+                pl.BlockSpec((1, width, bs, bs), lambda i, cols: (i, 0, 0, 0)),
+                pl.BlockSpec((1, n_pad), lambda i, cols: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bs), lambda i, cols: (i, 0, 0)),
+        )
+        x64_off = (
+            jax.enable_x64(False)
+            if hasattr(jax, "enable_x64")
+            else contextlib.nullcontext()
+        )
+        with x64_off:
+            y = pl.pallas_call(
+                _bell_kernel_rowmajor,
+                out_shape=jax.ShapeDtypeStruct((nbr, 1, bs), blocks.dtype),
+                grid_spec=grid_spec,
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * nbr * width * bs * bs,
+                    bytes_accessed=blocks.size * blocks.dtype.itemsize
+                    + (n_pad + nbr * bs) * blocks.dtype.itemsize,
+                    transcendentals=0,
+                ),
+            )(cols.astype(jnp.int32), blocks, xb)
+        return y.reshape(nbr * bs)
+
     xb = x_pad.reshape(-1, 1, bs)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

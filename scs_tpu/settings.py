@@ -129,9 +129,14 @@ class Settings:
     # happen on device at this granularity too.
     check_interval: int = 25
     # Per-phase timing (info dict lin_sys_time/cone_time/accel_time).
-    # "auto": measure (once per compiled core, via standalone jitted phase
-    # functions timed on device) when the solve is verbose or expensive
-    # enough to amortize the calibration compile; "always" / "off" force it.
+    # "always": instrumented mode — split per-phase dispatches, REAL
+    #   accumulated wall-clock timers, one CSV row per iteration
+    #   (check_interval forced to 1; slower).
+    # "auto": cheap estimate (per-call calibration x phase counts) when
+    #   the solve is verbose or long enough (>0.3 s) to amortize the
+    #   calibration compile. NOTE: fast silent solves report 0.0 timers
+    #   under "auto" — use "always" when timers must be populated.
+    # "off": never measure.
     phase_timing: str = "auto"
     # AA safeguarding: accept a candidate if its fixed-point residual is at
     # most aa_safeguard_factor x the current one; optionally clear the AA

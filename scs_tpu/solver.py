@@ -746,6 +746,30 @@ class Core:
         st1 = self._step(state, mats)
         return self._iter_tail(state, st1, mats)
 
+    def _iter_plain(self, state: State, mats: Mats):
+        """One iteration WITHOUT the AA-trial branch (statically): under
+        vmap, lax.cond lowers to a select that executes BOTH branches, so
+        the trial's extra DR step would run on EVERY batched iteration —
+        measured at ~60% extra solve time at B=512. The chunk loop calls
+        this for the interval-1 non-trial iterations and _iter_body only
+        where the trial schedule can actually fire."""
+        st1 = self._step(state, mats)
+        zeta = state.w
+        f = st1.w - zeta
+
+        def accumulate(st):
+            return st._replace(
+                it=state.it + 1,
+                u_sum=state.u_sum + st.u,
+                v_sum=state.v_sum + st.v,
+                avg_cnt=state.avg_cnt + 1.0,
+            )
+
+        if self.lookback == 0:
+            return accumulate(st1)
+        aa = self._aa_push(state.aa, zeta, f)
+        return accumulate(st1._replace(aa=aa))
+
     def _iter_tail(self, state: State, st1: State, mats: Mats):
         """AA bookkeeping + periodic trial, given the plain-step result
         (separated so the instrumented mode can time the plain step's
@@ -1183,11 +1207,28 @@ class Core:
 
     def _chunk(self, state: State, mats: Mats):
         k = self.stg.check_interval
+        interval = max(self.interval, 1)
 
-        def body(_, s):
-            return self._iter_body(s, mats)
+        if self.lookback > 0 and k % interval == 0:
+            # trial-aligned chunking: chunks advance `it` by a multiple
+            # of the AA interval and every path starts at it=0, so the
+            # trial can only fire on the last iteration of each
+            # interval-group — the other interval-1 iterations use the
+            # statically trial-free body (see _iter_plain: under vmap a
+            # cond runs both branches, doubling the matvec traffic).
+            def group(_, s):
+                def plain(_, s2):
+                    return self._iter_plain(s2, mats)
 
-        state = lax.fori_loop(0, k, body, state)
+                s = lax.fori_loop(0, interval - 1, plain, s)
+                return self._iter_body(s, mats)
+
+            state = lax.fori_loop(0, k // interval, group, state)
+        else:
+            def body(_, s):
+                return self._iter_body(s, mats)
+
+            state = lax.fori_loop(0, k, body, state)
         return self._check(state, mats)
 
     # -- finalization ------------------------------------------------------

@@ -17,6 +17,18 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the suite compiles hundreds of tiny
+# distinct programs (every (shape, settings) pair is its own compiled
+# core); caching them across runs cuts repeat suite time several-fold.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.scs_tpu_jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import pytest
 
 

@@ -99,6 +99,7 @@ def test_sdp_closed_form():
     assert_almost_equal(sol["info"]["pobj"], -2.0, decimal=4)
 
 
+@pytest.mark.slow
 def test_complex_sdp_mixed():
     # mixed real + complex PSD cones in one problem (reference:
     # test_mix_sd_csd_cone.py): random feasible problem, objective parity
@@ -247,8 +248,14 @@ def test_settings_rejected(bad):
     ],
 )
 def test_settings_accepted(good):
-    solver = scs.SCS(_TINY, {"l": 2}, verbose=False, **good)
-    solver.solve()  # must not raise
+    # acceptance is a validation-layer property; constructing a full
+    # solver per config costs a fresh XLA compile each (settings are part
+    # of the compiled-core key), so validate via Settings and run ONE
+    # end-to-end solve for the semantically interesting +inf-eps case
+    scs.Settings.from_kwargs(verbose=False, **good)
+    if good.get("eps_abs") == float("inf"):
+        solver = scs.SCS(_TINY, {"l": 2}, verbose=False, **good)
+        solver.solve()  # must not raise; terminates immediately
 
 
 def test_time_limit():
@@ -495,6 +502,7 @@ def test_verbose_output(capsys):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_reference_k_mix():
     K = {
         "z": 10,
@@ -614,6 +622,7 @@ def test_update_after_solve_correct_objective():
 # -- round-3 coverage growth (VERDICT r2 item 10) --------------------------
 
 
+@pytest.mark.slow
 def test_strategies_agree_tight_qp_soc_sdp():
     """Cross-strategy agreement at eps=1e-9 on a QP+SOC+SDP mix
     (reference test_scs_coverage.py:2060-2080 at its tightest eps)."""
@@ -636,6 +645,7 @@ def test_strategies_agree_tight_qp_soc_sdp():
         assert_almost_equal(sols[strat]["info"]["pobj"], opt, decimal=6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["direct", "indirect"])
 def test_closed_forms_per_strategy(strategy):
     """Each cone family's closed-form optimum, exercised per strategy

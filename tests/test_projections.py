@@ -25,6 +25,18 @@ def _project(spec_dict, z):
 
 RNG = np.random.RandomState(1234)
 
+# Fuzz depth: the default tier runs a reduced number of random trials per
+# cone so the suite fits the CI budget; SCS_TPU_SLOW=1 restores full depth.
+import os as _os
+
+_FULL_DEPTH = _os.environ.get("SCS_TPU_SLOW") == "1"
+
+
+def _n(full, fast):
+    return full if _FULL_DEPTH else fast
+
+
+
 
 def test_zero_and_nonneg():
     K = {"z": 3, "l": 4}
@@ -100,7 +112,7 @@ def test_exp_primal():
         np.array([-2.0, -2.0, 1.0]),
         np.array([-2.0, -2.0, -1.0]),
         np.array([10.0, 0.1, 0.1]),
-    ] + [RNG.randn(3) * 2 for _ in range(20)]
+    ] + [RNG.randn(3) * 2 for _ in range(_n(20, 6))]
     for z in cases:
         p = _project(K, z)
         expected = oracle.proj_exp(z)
@@ -114,7 +126,7 @@ def test_exp_primal():
 
 def test_exp_dual():
     K = {"ed": 1}
-    for _ in range(20):
+    for _ in range(_n(20, 6)):
         z = RNG.randn(3) * 2
         p = _project(K, z)
         expected = z + oracle.proj_exp(-z)
@@ -124,7 +136,7 @@ def test_exp_dual():
 @pytest.mark.parametrize("a", [0.5, 0.25, 0.75, 0.33])
 def test_pow_primal(a):
     K = {"p": [a]}
-    for _ in range(20):
+    for _ in range(_n(20, 6)):
         z = RNG.randn(3) * 2
         p = _project(K, z)
         q = p - z
@@ -138,7 +150,7 @@ def test_pow_primal(a):
 def test_pow_dual():
     a = 0.4
     K = {"p": [-a]}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(3) * 2
         p = _project(K, z)
         expected = z + oracle.proj_pow(-z, a)
@@ -149,7 +161,7 @@ def test_box():
     bu = np.array([0.5, 1.0, 2.0])
     bl = np.array([-0.5, -1.0, 0.0])
     K = {"bu": bu, "bl": bl}
-    for _ in range(20):
+    for _ in range(_n(20, 6)):
         z = RNG.randn(4) * 2
         p = _project(K, z)
         expected = oracle.proj_box(z, bl, bu)
@@ -166,7 +178,7 @@ def test_box_infinite_bounds():
     bu = np.array([np.inf, 1.0])
     bl = np.array([0.0, -np.inf])
     K = {"bu": bu, "bl": bl}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(3) * 2
         p = _project(K, z)
         t, s = p[0], p[1:]
@@ -178,7 +190,7 @@ def test_box_infinite_bounds():
 
 def test_ell1():
     K = {"ell1": [5]}
-    for _ in range(20):
+    for _ in range(_n(20, 6)):
         z = RNG.randn(6) * 2
         p = _project(K, z)
         expected = oracle.proj_ell1(z)
@@ -189,7 +201,7 @@ def test_ell1():
 def test_nuclear():
     mm, nn = 4, 3
     K = {"nuc_m": [mm], "nuc_n": [nn]}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(mm * nn + 1) * 2
         p = _project(K, z)
         t = p[0]
@@ -207,7 +219,7 @@ def test_nuclear():
 def test_sum_largest():
     nn, kk = 4, 2
     K = {"sl_n": [nn], "sl_k": [kk]}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(oracle.sd_size(nn) + 1) * 2
         p = _project(K, z)
         t = p[0]
@@ -218,7 +230,7 @@ def test_sum_largest():
         q = p - z
         assert abs(np.dot(p, q)) < 1e-5
         # variational inequality against random cone points
-        for _ in range(20):
+        for _ in range(_n(20, 6)):
             Wr = RNG.randn(nn, nn)
             Wr = Wr + Wr.T
             wr, Vr = np.linalg.eigh(Wr)
@@ -232,7 +244,7 @@ def test_sum_largest():
 def test_logdet():
     nn = 3
     K = {"d": [nn]}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(oracle.sd_size(nn) + 2) * 2
         p = _project(K, z)
         t, v = p[0], p[1]
@@ -245,7 +257,7 @@ def test_logdet():
         q = p - z
         assert abs(np.dot(p, q)) < 1e-4
         # variational inequality sampling
-        for _ in range(20):
+        for _ in range(_n(20, 6)):
             Wr = RNG.randn(nn, nn)
             Wr = Wr @ Wr.T + 0.1 * np.eye(nn)
             vv = abs(RNG.randn()) + 0.1
@@ -260,7 +272,7 @@ def test_logdet_matches_oracle():
     root-finding stacks agreeing on the same projection)."""
     nn = 3
     K = {"d": [nn]}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(oracle.sd_size(nn) + 2) * 2
         p = _project(K, z)
         expected = oracle.proj_logdet(z, nn)
@@ -270,7 +282,7 @@ def test_logdet_matches_oracle():
 def test_nuclear_matches_oracle():
     mm, nn = 4, 3
     K = {"nuc_m": [mm], "nuc_n": [nn]}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(mm * nn + 1) * 2
         p = _project(K, z)
         expected = oracle.proj_nuclear(z, mm, nn)
@@ -282,7 +294,7 @@ def test_sum_largest_matches_oracle():
     lifted-QP SLSQP oracle."""
     nn, kk = 4, 2
     K = {"sl_n": [nn], "sl_k": [kk]}
-    for _ in range(10):
+    for _ in range(_n(10, 4)):
         z = RNG.randn(oracle.sd_size(nn) + 1) * 2
         p = _project(K, z)
         expected = oracle.proj_sumlargest(z, nn, kk)
