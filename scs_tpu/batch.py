@@ -100,9 +100,12 @@ class BatchedSCS:
     cone: one cone dict shared by the batch.
     """
 
-    # compaction ladder floor: never compact below this many problems
-    # (device utilization stops improving and each size is a recompile)
-    _MIN_BUCKET = 16
+    # compaction ladder floor: never compact below this many problems.
+    # Device utilization stops improving below ~64 (the residual tail at
+    # a small bucket costs ~0.1 s of extra lockstep work, while every
+    # extra ladder size is a full recompile of the segment/finalize/
+    # rescale programs — tens of seconds on a cold compile service).
+    _MIN_BUCKET = 32
 
     def __init__(self, data, cone, **settings):
         settings.setdefault("verbose", False)
