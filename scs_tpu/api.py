@@ -461,11 +461,28 @@ class SCS:
         a KeyboardInterrupt lands between device calls and maps to the
         SIGINT status exactly like the reference's ctrlc.c handler
         (SURVEY §2.3; the reference polls an interrupt flag inside its C
-        loop with the GIL released)."""
-        state = core._jit_chunk(state, mats)
+        loop with the GIL released).
+
+        When the host does not need per-chunk data (no verbose line, no
+        CSV row, no time limit), several chunks run per host poll via
+        Core._multi_chunk — on a tunneled TPU each poll is a network
+        round-trip with high jitter, and at check_interval=25 those
+        round-trips (not device math) dominated the bell solve."""
+        seg = (
+            1
+            if (verbose or csv is not None or stg.time_limit_secs)
+            else int(stg.host_poll_chunks)
+        )
+
+        def step(s):
+            if seg == 1:
+                return core._jit_chunk(s, mats)
+            return core._jit_multi_chunk(s, mats, seg)
+
+        state = step(state)
         while True:
             self._last_state = state
-            nxt = core._jit_chunk(state, mats)  # speculative dispatch
+            nxt = step(state)  # speculative dispatch
             p = self._probe_values(state)  # ONE D2H round-trip per chunk
             done = (
                 int(p[1]) != info_mod.UNFINISHED
@@ -591,35 +608,41 @@ class SCS:
         csv.write_row(vals)
 
     @staticmethod
-    def _is_indeterminate(state) -> bool:
+    def _is_indeterminate(state, tau, kap) -> bool:
         """True when the iterate carries no signal: tau ~ 0 AND kappa ~ 0
         relative to the iterate norm (which _check renormalizes to
         sqrt(N), so the comparison is scale-free)."""
         u = np.asarray(state.u)
         nrm = float(np.linalg.norm(u)) + float(np.linalg.norm(np.asarray(state.v)))
         tiny = 1e-9 * max(nrm, 1e-300)
-        return abs(float(state.u[-1])) < tiny and abs(float(state.v[-1])) < tiny
+        return abs(tau) < tiny and abs(kap) < tiny
 
     def _build_solution(self, state, solve_time, interrupted):
         core, mats = self.core, self.mats
         x, y, s, x_cert, y_cert, s_cert, relaxed, diag = core._jit_finalize(
             state, mats
         )
-        status = int(state.status)
-        it = int(state.it)
+        # ONE f32 D2H fetch for every scalar below (individual int()/
+        # float() fetches are one tunnel round-trip EACH, and the first
+        # non-f32 transfer stalls for minutes — see Core._final_scalars)
+        sc = np.asarray(
+            core._jit_final_scalars(state, relaxed, diag), np.float64
+        )
+        status = int(sc[0])
+        it = int(sc[1])
         if interrupted:
             status = info_mod.SIGINT
         elif status == info_mod.UNFINISHED:
             # exhausted max_iters / time limit: classify best guess with
             # relaxed tolerances (reference *_inaccurate semantics)
-            relaxed = int(relaxed)
+            relaxed = int(sc[2])
             if relaxed == info_mod.SOLVED:
                 status = info_mod.SOLVED_INACCURATE
             elif relaxed == info_mod.INFEASIBLE:
                 status = info_mod.INFEASIBLE_INACCURATE
             elif relaxed == info_mod.UNBOUNDED:
                 status = info_mod.UNBOUNDED_INACCURATE
-            elif self._is_indeterminate(state):
+            elif self._is_indeterminate(state, float(sc[22]), float(sc[23])):
                 # tau AND kappa collapsed with no certificate even at 1e3x
                 # relaxed tolerances: the homogeneous embedding ray gives
                 # no information (reference INDETERMINATE = -3,
@@ -640,20 +663,19 @@ class SCS:
             x_out, y_out, s_out = np.array(x), np.array(y), np.array(s)
 
         # store the embedding state for warm starting the next solve
-        self._warm = (state.u, state.v, float(state.scale))
+        self._warm = (state.u, state.v, float(sc[4]))
 
-        aa = state.aa
         aa_stats = {
-            "iter": int(aa.aa_iter),
-            "n_accept": int(aa.n_accept),
+            "iter": int(sc[14]),
+            "n_accept": int(sc[15]),
             "n_reject_lapack": 0,
             "n_reject_rank0": 0,
-            "n_reject_nonfinite": int(aa.n_reject_nonfinite),
-            "n_reject_weight_cap": int(aa.n_reject_weight_cap),
-            "n_safeguard_reject": int(aa.n_safeguard_reject),
-            "last_rank": int(min(max(int(aa.count), 0), core.lookback)),
-            "last_aa_norm": float(aa.last_aa_norm),
-            "last_regularization": float(aa.last_reg),
+            "n_reject_nonfinite": int(sc[16]),
+            "n_reject_weight_cap": int(sc[17]),
+            "n_safeguard_reject": int(sc[18]),
+            "last_rank": int(min(max(int(sc[19]), 0), core.lookback)),
+            "last_aa_norm": float(sc[20]),
+            "last_regularization": float(sc[21]),
         }
         if core.lookback == 0:
             aa_stats = info_mod.default_aa_stats()
@@ -671,35 +693,32 @@ class SCS:
             pt = core.phase_times(state, mats)
             # each iteration does one linear projection + one cone
             # projection; each AA trial adds a candidate solve + safeguard
-            aa_trials = int(state.aa.aa_iter) if core.lookback > 0 else 0
+            aa_trials = int(sc[14]) if core.lookback > 0 else 0
             lin_sys_time = pt["lin_sys"] * it
             cone_time = pt["cone"] * it
             accel_time = pt["accel_trial"] * aa_trials
 
-        d = state.diag
         info = info_mod.make_info(
             status,
             it,
-            scale_updates=int(state.scale_updates),
-            scale=float(state.scale),
-            pobj=float(d.pobj),
-            dobj=float(d.dobj),
-            res_pri=float(d.res_pri),
-            res_dual=float(d.res_dual),
-            gap=float(d.gap),
-            res_infeas=float(d.res_infeas),
-            res_unbdd_a=float(d.res_unbdd_a),
-            res_unbdd_p=float(d.res_unbdd_p),
-            comp_slack=float(d.comp_slack),
+            scale_updates=int(sc[3]),
+            scale=float(sc[4]),
+            pobj=float(sc[5]),
+            dobj=float(sc[6]),
+            res_pri=float(sc[7]),
+            res_dual=float(sc[8]),
+            gap=float(sc[9]),
+            res_infeas=float(sc[10]),
+            res_unbdd_a=float(sc[11]),
+            res_unbdd_p=float(sc[12]),
+            comp_slack=float(sc[13]),
             solve_time=solve_time,
             setup_time=self._setup_time,
             lin_sys_time=lin_sys_time,
             cone_time=cone_time,
             accel_time=accel_time,
-            rejected_accel_steps=int(aa.n_safeguard_reject)
-            + int(aa.n_reject_nonfinite)
-            + int(aa.n_reject_weight_cap),
-            accepted_accel_steps=int(aa.n_accept),
+            rejected_accel_steps=int(sc[18]) + int(sc[16]) + int(sc[17]),
+            accepted_accel_steps=int(sc[15]),
             aa_stats=aa_stats,
         )
         return {"x": x_out, "y": y_out, "s": s_out, "info": info}

@@ -301,19 +301,43 @@ class BatchedSCS:
             )
             return x, y, s, x_cert, y_cert, s_cert, scal
 
-        self._vinit = jax.jit(_hp(jax.vmap(core._init_pure)))
+        # Setup as three SEPARATELY-jitted stages instead of one monolith
+        # (VERDICT r3 item 1a): each stage is a small stable program (one
+        # persistent-cache entry each), the host timer attributes the
+        # cost per stage, and the factorize stage — the only O(n^3) one —
+        # can be measured/compiled in isolation.
+        scale0 = float(self.stg.scale)
+
+        def factorize_one(mats):
+            return core._factorize(mats, jnp.asarray(scale0, dtype))
+
+        def g_one(mats, L):
+            return core._compute_g(mats, jnp.asarray(scale0, dtype), L)
+
+        def fresh_one(L, gx, gy):
+            return core._fresh_state(L, gx, gy, jnp.asarray(scale0, dtype))
+
+        self._vfactorize = jax.jit(_hp(jax.vmap(factorize_one)))
+        self._vg = jax.jit(_hp(jax.vmap(g_one)))
+        self._vfresh = jax.jit(jax.vmap(fresh_one))
         self._vrun_seg = jax.jit(_hp(run_seg), static_argnums=(2, 3))
         self._vrescale = jax.jit(_hp(jax.vmap(core.rescale_step)))
         self._vfinalize = jax.jit(_hp(jax.vmap(finalize_pack)))
         t2 = time.perf_counter()
-        self._states = self._vinit(self.mats)
+        L = self._vfactorize(self.mats)
+        jax.block_until_ready(L)
+        t_fact = time.perf_counter() - t2
+        t2 = time.perf_counter()
+        gx, gy = self._vg(self.mats, L)
+        self._states = self._vfresh(L, gx, gy)
         jax.block_until_ready(self._states.gx)
-        t_init = time.perf_counter() - t2
+        t_g = time.perf_counter() - t2
         self._setup_time = time.perf_counter() - t0
         self.setup_breakdown = {
             "transfer": t_transfer,
             "equilibrate": t_prep,
-            "factorize": t_init,
+            "factorize": t_fact,
+            "compute_g": t_g,
         }
         self._phase_cache = None
 
@@ -347,15 +371,12 @@ class BatchedSCS:
 
     def reset(self):
         """Re-initialize all solver states (cold start)."""
-        self._states = self._vinit(self.mats)
+        L = self._vfactorize(self.mats)
+        gx, gy = self._vg(self.mats, L)
+        self._states = self._vfresh(L, gx, gy)
         jax.block_until_ready(self._states.gx)
 
     # -- result building ---------------------------------------------------
-
-    def _finalize_into(self, results, positions, states, mats, mask, elapsed):
-        """Finalize (a subset of) the current batch into `results`."""
-        pack = self._vfinalize(states, mats)
-        self._materialize(results, positions, pack, mask, elapsed)
 
     def _materialize(self, results, positions, pack, mask, elapsed):
         """Host side of finalization: fetch a dispatched finalize pack and
@@ -470,23 +491,48 @@ class BatchedSCS:
         results: list = [None] * B
         max_iters = int(self.stg.max_iters)
         compact = bool(self.stg.batch_compaction) and B >= 2 * self._MIN_BUCKET
-        seg = int(self.stg.batch_compact_interval)
+        # clamp: a non-positive segment length would make run_seg's cond
+        # false immediately, so `it` never advances and this loop spins
+        # forever on the host (ADVICE r3)
+        seg = max(1, int(self.stg.batch_compact_interval))
 
         # finalize packs are DISPATCHED at retirement time but fetched
         # after the last segment — D2H round-trips stay off the critical
         # path (each fetch is a full tunnel round-trip on remote TPUs)
+        import os as _os
+
+        dbg = _os.environ.get("SCS_TPU_TIMING") == "1"
         pending = []
         while True:
+            t_dbg = time.perf_counter()
             states = self._vrun_seg(states, mats, max_iters, seg)
+            if dbg:
+                jax.block_until_ready(states.it)
+                print(
+                    f"# seg dispatch+run {time.perf_counter() - t_dbg:.3f}s "
+                    f"(cur={len(positions)})",
+                    flush=True,
+                )
+                t_dbg = time.perf_counter()
+            # probe rides f32: the tunnel's FIRST device->host transfer
+            # of each non-f32 dtype stalls for minutes (measured: int32
+            # ~80 s, bool ~290 s; f32 ~30 ms) — every host-consumed value
+            # in this package is fetched as f32 for that reason
             probe = np.asarray(
                 jnp.stack(
                     [
-                        states.status,
-                        states.it,
-                        states.rescale_trigger.astype(jnp.int32),
+                        states.status.astype(jnp.float32),
+                        states.it.astype(jnp.float32),
+                        states.rescale_trigger.astype(jnp.float32),
                     ]
                 )
             )
+            if dbg:
+                print(
+                    f"# probe fetch {time.perf_counter() - t_dbg:.3f}s "
+                    f"it={probe[1].max()}",
+                    flush=True,
+                )
             status_np, it_np, trig_np = probe[0], probe[1], probe[2]
             done = (status_np != UNFINISHED) | (it_np >= max_iters)
             if done.all():

@@ -90,7 +90,10 @@ def gen_batch_device(B, m, n, seed=1234):
         )
         G = jax.random.normal(ks[1], (B, n, n // 8), jnp.float32)
         P = (0.1 / (n // 8)) * (G @ jnp.swapaxes(G, 1, 2))
-        P = P + 1e-4 * jnp.eye(n, dtype=jnp.float32)
+        # diagonal via scatter — a broadcast eye-add fused into a batched
+        # matmul is a compile-time pathology (see solver._build_S note)
+        idx = jnp.arange(n)
+        P = P.at[:, idx, idx].add(1e-4)
         z = jax.random.normal(ks[2], (B, m), jnp.float32)
         y = jnp.maximum(z, 0.0)
         s = y - z
@@ -257,7 +260,7 @@ def bench_batched_qp():
         n_solved = sum(r["info"]["status"] == "solved" for r in results)
 
     setup_parts = {"host_gen": round(gen_time, 3)}
-    for k in ("transfer", "equilibrate", "factorize"):
+    for k in ("transfer", "equilibrate", "factorize", "compute_g"):
         setup_parts[k] = round(
             sum(s.setup_breakdown[k] for s in solvers), 3
         )

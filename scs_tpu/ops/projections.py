@@ -657,8 +657,11 @@ def make_cone_projector(spec: ConeSpec, dtype=jnp.float64) -> Callable:
         )
         plans.append((kind, param, len(group), idx))
 
-    bl_default = jnp.asarray(spec.bl, dtype)
-    bu_default = jnp.asarray(spec.bu, dtype)
+    # host numpy constants: a device-array closure constant is fetched
+    # D2H at MLIR-lowering time, which is pathologically slow over a
+    # tunneled TPU (see solver.Core.zero_mask note)
+    bl_default = np.asarray(spec.bl, dtype)
+    bu_default = np.asarray(spec.bu, dtype)
 
     def proj(z, bl=None, bu=None):
         bl = bl_default if bl is None else bl

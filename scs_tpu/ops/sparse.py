@@ -100,9 +100,11 @@ def _bell_kernel_rowmajor(cols_ref, blk_ref, x_ref, y_ref):
     y_ref[0, 0, :] = acc[0]
 
 
-# full-x-in-VMEM is the fast path while x (padded) fits comfortably in
-# VMEM alongside the double-buffered A blocks (~16 MiB total on v5e)
-_BELL_VMEM_X_LIMIT = 2 * 1024 * 1024  # elements (8 MiB f32)
+# full-x-in-VMEM is the fast path while x (padded) PLUS the double-
+# buffered (1, width, bs, bs) block slab fit in VMEM (~16 MiB on v5e,
+# budgeted at 12 MiB). Gating on x alone is wrong for semi-dense packs
+# (width ~ nbc): the slab alone can exceed VMEM (ADVICE r3 medium).
+_BELL_VMEM_BUDGET = 3 * 1024 * 1024  # f32 elements (12 MiB)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -115,15 +117,23 @@ def bell_spmv(blocks, cols, x_pad, *, interpret=False):
     The x tile for each (block-row, slot) is DMA'd into VMEM by the
     scalar-prefetched block-column id.
     """
-    import contextlib  # noqa: PLC0415
-
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
     nbr, width, bs, _ = blocks.shape
     n_pad = x_pad.shape[0]
 
-    if n_pad <= _BELL_VMEM_X_LIMIT:
+    # The package enables x64 globally; under x64 the grid-spec index
+    # maps trace their literal indices as i64 and Mosaic fails to
+    # legalize the kernel ("failed to legalize operation 'func.func'",
+    # reproduced on-chip when this guard was briefly removed). All
+    # operands are f32/i32 by contract, so scoping x64 off around the
+    # pallas_call has no caller-visible effect. (ADVICE r3 claimed
+    # jax.enable_x64 does not exist — it does in jax 0.9 and the guard
+    # is load-bearing.)
+    x64_off = jax.enable_x64(False)
+
+    if n_pad + 2 * width * bs * bs <= _BELL_VMEM_BUDGET:
         # fast path: full x resident in VMEM, one grid step per block-row
         xb = x_pad.reshape(1, n_pad)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -134,11 +144,6 @@ def bell_spmv(blocks, cols, x_pad, *, interpret=False):
                 pl.BlockSpec((1, n_pad), lambda i, cols: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, bs), lambda i, cols: (i, 0, 0)),
-        )
-        x64_off = (
-            jax.enable_x64(False)
-            if hasattr(jax, "enable_x64")
-            else contextlib.nullcontext()
         )
         with x64_off:
             y = pl.pallas_call(
@@ -165,16 +170,6 @@ def bell_spmv(blocks, cols, x_pad, *, interpret=False):
             pl.BlockSpec((1, 1, bs), lambda i, w, cols: (cols[i, w], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bs), lambda i, w, cols: (i, 0, 0)),
-    )
-    # The solver package enables x64 globally; under x64 the scalar-
-    # prefetch index arithmetic traces as int64 and Mosaic fails to
-    # legalize the kernel ("failed to legalize operation 'func.func'").
-    # All operands here are f32/i32 already, so trace the kernel with x64
-    # scoped off (no caller-visible effect).
-    x64_off = (
-        jax.enable_x64(False)
-        if hasattr(jax, "enable_x64")
-        else contextlib.nullcontext()
     )
     with x64_off:
         y = pl.pallas_call(

@@ -128,6 +128,12 @@ class Settings:
     # checks (verbose print, time limit, SIGINT). Residual/termination checks
     # happen on device at this granularity too.
     check_interval: int = 25
+    # Silent solves poll the host only every host_poll_chunks chunks (the
+    # device early-exits between polls once terminated): on a tunneled
+    # TPU each poll is a network round-trip with large jitter, so the
+    # poll cadence — not device math — otherwise bounds solve latency.
+    # Verbose/CSV/time-limited solves poll every chunk regardless.
+    host_poll_chunks: int = 8
     # Per-phase timing (info dict lin_sys_time/cone_time/accel_time).
     # "always": instrumented mode — split per-phase dispatches, REAL
     #   accumulated wall-clock timers, one CSV row per iteration
@@ -215,6 +221,14 @@ class Settings:
                 "compiler crash). Use dtype='float32', or run on CPU "
                 "(jax.config.update('jax_platforms', 'cpu')) for f64."
             )
+        if int(self.check_interval) < 1:
+            _err("check_interval must be >= 1")
+        if int(self.host_poll_chunks) < 1:
+            _err("host_poll_chunks must be >= 1")
+        if int(self.batch_compact_interval) < 1:
+            # a non-positive segment would spin BatchedSCS.solve forever
+            # (run_seg's chunk condition is immediately false; ADVICE r3)
+            _err("batch_compact_interval must be >= 1")
         if self.phase_timing not in ("auto", "always", "off"):
             _err("phase_timing must be 'auto', 'always' or 'off'")
         if self.direct_solver not in ("cholesky", "inverse"):

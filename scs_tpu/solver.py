@@ -233,7 +233,13 @@ class Core:
         self.stg = stg
         self.dtype = jnp.float64 if stg.dtype == "float64" else jnp.float32
         self.spec = spec
-        self.zero_mask = jnp.asarray(spec.zero_row_mask())
+        # Trace-time constant: kept as a HOST numpy array, never a device
+        # array. A device-array closure constant is fetched back D2H
+        # during MLIR lowering (mlir.ir_constant -> Array._value), and on
+        # a tunneled TPU that fetch is catastrophically slow for
+        # host-sourced bool buffers (measured 150-290 s for 1500 bytes —
+        # the real root of the round-3 "factorize 531 s" setup wall).
+        self.zero_mask = np.asarray(spec.zero_row_mask())
         self.strategy = stg.solver_strategy
         self.indirect = stg.solver_strategy in ("indirect", "bell")
         self.use_bell = stg.solver_strategy == "bell"
@@ -265,7 +271,11 @@ class Core:
         self._jit_init = jax.jit(_hp(self._init_pure))
         self._jit_init_from_factor = jax.jit(_hp(self._init_from_factor))
         self._jit_chunk = jax.jit(_hp(self._chunk))
+        self._jit_multi_chunk = jax.jit(
+            _hp(self._multi_chunk), static_argnums=(2,)
+        )
         self._jit_finalize = jax.jit(_hp(self._finalize))
+        self._jit_final_scalars = jax.jit(self._final_scalars)
         # instrumented-mode split dispatches (phase_timing="always"):
         # each solver phase runs as its own program so the host can
         # accumulate REAL per-phase wall-clock (reference
@@ -276,6 +286,26 @@ class Core:
         self._jit_check = jax.jit(_hp(self._check))
         self._jit_probe = jax.jit(self._probe)
         self._phase_cache = None
+
+    def _final_scalars(self, state: State, relaxed, diag: Diag):
+        """All end-of-solve host-consumed scalars packed into ONE f32
+        array: a single D2H fetch. Besides round-trip count, the dtype
+        matters — the tunnel's first transfer of each non-f32 dtype
+        stalls for minutes (int32 ~80 s, bool ~290 s measured), so every
+        host-bound value is converted to f32 on device first."""
+        aa = state.aa
+        vals = [
+            state.status, state.it, relaxed, state.scale_updates,
+            state.scale,
+            diag.pobj, diag.dobj, diag.res_pri, diag.res_dual, diag.gap,
+            diag.res_infeas, diag.res_unbdd_a, diag.res_unbdd_p,
+            diag.comp_slack,
+            aa.aa_iter, aa.n_accept, aa.n_reject_nonfinite,
+            aa.n_reject_weight_cap, aa.n_safeguard_reject, aa.count,
+            aa.last_aa_norm, aa.last_reg,
+            state.u[-1], state.v[-1],
+        ]
+        return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
 
     def _probe(self, state: State):
         """Every host-consumed scalar of one check packed into ONE array:
@@ -358,9 +388,20 @@ class Core:
             return False
 
     def _build_S(self, mats: Mats, dy):
+        # Two compile-time rules shape this function (the round-3 531 s
+        # setup wall, VERDICT r3 item 1; measurements in
+        # tools/compile_diag3.py):
+        #   1. scale the RIGHT operand (A * dy), not the transposed left
+        #      one — the left-scaled form sends the batched XLA:TPU
+        #      compile superlinear in B (>390 s at B=64 vs ~5 s at B=256
+        #      for this form);
+        #   2. add the diagonal by SCATTER, not `S + rho_x*jnp.eye(n)` —
+        #      a broadcast iota-eye fused near a batched matmul triggers
+        #      the same pathology.
         A = mats.A
-        S = (mats.A.T * dy[None, :]) @ A
-        S = S + self.stg.rho_x * jnp.eye(self.n, dtype=self.dtype)
+        S = A.T @ (A * dy[:, None])
+        idx = jnp.arange(self.n)
+        S = S.at[idx, idx].add(self.stg.rho_x)
         if self.has_P:
             S = S + mats.P
         return S
@@ -459,10 +500,14 @@ class Core:
         S = self._build_S(mats, dy)
         chol = jnp.linalg.cholesky(S)
         if self.use_inverse:
-            # L := S^-1 (SPD, equilibrated; one-time n^3, then matvecs)
-            return jax.scipy.linalg.cho_solve(
-                (chol, True), jnp.eye(self.n, dtype=self.dtype)
-            )
+            # L := S^-1 (SPD, equilibrated; one-time n^3, then matvecs).
+            # The identity RHS is built by scatter from a TRACED zeros
+            # array (zeros_like(chol)) so that under vmap it batches as a
+            # (B, n, n) scatter — an iota-eye broadcast here recreates the
+            # compile-time pathology documented in _build_S.
+            idx = jnp.arange(self.n)
+            eye = jnp.zeros_like(chol).at[idx, idx].set(1.0)
+            return jax.scipy.linalg.cho_solve((chol, True), eye)
         return chol
 
     def _compute_g(self, mats: Mats, scale, L):
@@ -717,23 +762,25 @@ class Core:
         s = jnp.linalg.norm(f) + jnp.asarray(1e-300, self.dtype)
         dX, dF = aa.dX / s, aa.dF / s
         fs = f / s
-        eye = jnp.eye(dX.shape[0], dtype=self.dtype)
+        idxL = jnp.arange(dX.shape[0])
         # Solve the small (L x L) system via a PSD Cholesky form — the TPU
-        # compiler implements Cholesky for f32/f64 but not LU.
+        # compiler implements Cholesky for f32/f64 but not LU. The
+        # regularization lands on the diagonal by scatter (not a broadcast
+        # eye-add next to a matmul — see the compile-time note in _build_S).
         if stg.acceleration_type_1:
             M = dX @ dF.T  # (L, L) type-I mixed Gram (nonsymmetric)
             rhs0 = dX @ fs
             reg = stg.acceleration_regularization * (
                 1.0 + jnp.trace(jnp.abs(M))
             )
-            G = M.T @ M + (reg * reg) * eye  # regularized LS normal form
+            G = (M.T @ M).at[idxL, idxL].add(reg * reg)  # regularized LS
             rhs = M.T @ rhs0
         else:
             G0 = dF @ dF.T  # type-II Gram (PSD)
             reg = stg.acceleration_regularization * (
                 1.0 + jnp.trace(G0)
             )
-            G = G0 + reg * eye
+            G = G0.at[idxL, idxL].add(reg)
             rhs = dF @ fs
         chol = jnp.linalg.cholesky(G)
         gamma = jax.scipy.linalg.cho_solve((chol, True), rhs)
@@ -924,7 +971,11 @@ class Core:
             ctx_raw < 0,
             mats.norm_c * nPx_raw / jnp.maximum(-ctx_raw, 1e-300),
             jnp.inf,
-        ) if self.has_P else jnp.where(ctx_raw < 0, 0.0, jnp.inf)
+        ) if self.has_P else jnp.where(
+            ctx_raw < 0,
+            jnp.asarray(0.0, self.dtype),
+            jnp.asarray(jnp.inf, self.dtype),
+        )
 
         # --- normalized-space (equilibrated data) diagnostics. After
         # equilibration ||bn|| = ||cn|| = 1, so the certificate residuals
@@ -953,7 +1004,11 @@ class Core:
             ctx_hat < 0,
             jnp.linalg.norm(Pxb) / jnp.maximum(-ctx_hat, 1e-300),
             jnp.inf,
-        ) if self.has_P else jnp.where(ctx_hat < 0, 0.0, jnp.inf)
+        ) if self.has_P else jnp.where(
+            ctx_hat < 0,
+            jnp.asarray(0.0, self.dtype),
+            jnp.asarray(jnp.inf, self.dtype),
+        )
 
         diag = Diag(
             res_pri=res_pri,
@@ -1230,6 +1285,29 @@ class Core:
 
             state = lax.fori_loop(0, k, body, state)
         return self._check(state, mats)
+
+    def _multi_chunk(self, state: State, mats: Mats, seg: int):
+        """Run up to `seg` chunks entirely ON DEVICE, exiting early once
+        the solve terminates. On a tunneled TPU every host probe is a
+        full network round-trip with high jitter (measured 25 ms-1 s);
+        batching `seg` chunks per poll takes the host off the critical
+        path without running extra iterations — the device still checks
+        termination every check_interval iterations."""
+
+        def cond(carry):
+            s, k = carry
+            return (
+                (k < seg)
+                & (s.status == UNFINISHED)
+                & (s.it < self.stg.max_iters)
+            )
+
+        def body(carry):
+            s, k = carry
+            return self._chunk(s, mats), k + 1
+
+        s, _ = lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return s
 
     # -- finalization ------------------------------------------------------
 

@@ -730,10 +730,15 @@ def test_indeterminate_end_to_end():
         )
 
     core._jit_chunk = sabotage
+    # silent solves batch chunks via _jit_multi_chunk (host-poll
+    # batching); route it through the sabotaged single-chunk path too
+    orig_multi = core._jit_multi_chunk
+    core._jit_multi_chunk = lambda state, mats, seg: sabotage(state, mats)
     try:
         sol = solver.solve(warm_start=False)
     finally:
         core._jit_chunk = orig
+        core._jit_multi_chunk = orig_multi
     assert sol["info"]["status"] == "indeterminate"
     assert sol["info"]["status_val"] == scs.INDETERMINATE
 

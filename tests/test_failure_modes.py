@@ -31,9 +31,14 @@ def test_indeterminate_classification():
     N = solver.core.N
     u = jnp.ones(N).at[-1].set(0.0) * jnp.sqrt(N / (N - 1.0))
     state = state._replace(u=u, v=jnp.zeros(N))
-    assert scs.SCS._is_indeterminate(state)
+    assert scs.SCS._is_indeterminate(
+        state, float(state.u[-1]), float(state.v[-1])
+    )
     # ...and a healthy state does not
-    assert not scs.SCS._is_indeterminate(solver.core.init_state(solver.mats))
+    healthy = solver.core.init_state(solver.mats)
+    assert not scs.SCS._is_indeterminate(
+        healthy, float(healthy.u[-1]), float(healthy.v[-1])
+    )
 
 
 def test_indeterminate_status_string():
