@@ -201,6 +201,9 @@ class SCS:
             P_triu = P
 
         # settings: reference keyword surface + TPU extras
+        from .settings import ensure_compile_cache
+
+        ensure_compile_cache()
         linear_solver = settings.pop("linear_solver", LinearSolver.AUTO)
         self.stg = Settings.from_kwargs(**settings)
         strategy = (

@@ -128,6 +128,9 @@ class BatchedSCS:
         # loop (Core._chunk).
         settings.setdefault("check_interval", 50)
         settings.setdefault("batch_compact_interval", 1)
+        from .settings import ensure_compile_cache
+
+        ensure_compile_cache()
         A = data["A"]
         if isinstance(A, (list, tuple)):
             A = np.stack([np.asarray(Ai.todense() if hasattr(Ai, "todense") else Ai) for Ai in A])

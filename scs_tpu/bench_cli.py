@@ -128,6 +128,82 @@ def _is_oom(exc) -> bool:
     return "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc)
 
 
+def gen_bell_lp(m, n, density, bs=128, width=6, seed=7):
+    """Block-structured sparse LP (network/assignment style) for the bell
+    strategy: each bs-row block touches `width` random bs-column tiles —
+    the regime where the block-ELL pack is ~width/nbc of dense (see the
+    AUTO heuristic, api._block_ell_stats)."""
+    from scipy import sparse as sp
+
+    rng = np.random.RandomState(seed)
+    nbr, nbc = -(-m // bs), -(-n // bs)
+    tile_density = min(1.0, density * nbc / width)
+    per_tile = max(1, int(tile_density * bs * bs))
+    rows_l, cols_l = [], []
+    for r in range(nbr):
+        tiles = rng.choice(nbc, min(width, nbc), replace=False)
+        rr = rng.randint(0, bs, size=per_tile * len(tiles))
+        cc = rng.randint(0, bs, size=per_tile * len(tiles))
+        tb = np.repeat(tiles, per_tile)
+        rows_l.append(r * bs + rr)
+        cols_l.append(tb * bs + cc)
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    keep = (rows < m) & (cols < n)  # ragged edge tiles
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.randn(len(rows))
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+    A = A + sp.eye(m, n, format="csc")  # full row rank
+    x0 = rng.randn(n)
+    s = np.abs(rng.randn(m))
+    b = A @ x0 + s
+    y = np.abs(rng.randn(m))
+    c = -(A.T @ y)
+    return {"A": sp.csc_matrix(A), "b": b, "c": c}
+
+
+def _bell_submetric(m=30000, n=20000, density=0.002, eps=1e-4):
+    """Small-but-real bell (Pallas block-ELL) benchmark folded into the
+    default bench run (VERDICT r3 item 3): one large block-sparse LP on
+    the chip, with a per-iteration-cost baseline derived from the
+    reference's measured indirect-CG anchor."""
+    import scs_tpu
+
+    data = gen_bell_lp(m, n, density)
+    nnz = data["A"].nnz
+    t0 = time.perf_counter()
+    solver = scs_tpu.SCS(
+        data, {"l": m}, solver_strategy="bell", eps_abs=eps, eps_rel=eps,
+        verbose=False, max_iters=50000,
+    )
+    setup = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = solver.solve(warm_start=False)
+    elapsed = time.perf_counter() - t0
+    it = max(sol["info"]["iter"], 1)
+    # Baseline: the reference's measured indirect-CG run (scs_qp.ipynb
+    # cell 20) costs 19.1 s / 250 iters = 76.4 ms per DR iteration at
+    # 3.0e6 effective nnz. Per-iteration cost scales with nnz for a
+    # matvec-bound method; credit the reference the SAME iteration count
+    # we measured (iteration counts are an algorithm property, and ours
+    # is AA-accelerated like the reference's).
+    ref_secs = (19.1 / 250.0) * (nnz / 3.0e6) * it
+    return {
+        "metric": f"bell_lp_n{n}_m{m}_d{density:g}_eps{eps:g}",
+        "status": sol["info"]["status"],
+        "iters": int(it),
+        "solve_secs": round(elapsed, 3),
+        "setup_secs": round(setup, 3),
+        "nnz": int(nnz),
+        "vs_baseline": round(ref_secs / elapsed, 2),
+        "baseline_derivation": (
+            "76.4 ms/iter reference indirect-CG anchor (19.1s/250 iters, "
+            f"scs_qp.ipynb cell 20, 3.0e6 nnz) x nnz ratio {nnz / 3.0e6:.2f}"
+            f" x measured {it} iters"
+        ),
+    }
+
+
 def bench_batched_qp():
     import jax
 
@@ -220,8 +296,10 @@ def bench_batched_qp():
                 t0 = time.perf_counter()
                 solvers = build(dt, nchunks)
                 setup = time.perf_counter() - t0
+                t0 = time.perf_counter()
                 results = [r for s in solvers for r in s.solve()]
-                return solvers, results, setup, nchunks
+                first_secs = time.perf_counter() - t0
+                return solvers, results, setup, first_secs, nchunks
             except Exception as exc:  # noqa: BLE001
                 if _is_oom(exc) and nchunks < B:
                     print(
@@ -246,7 +324,10 @@ def bench_batched_qp():
                     continue
                 raise
 
-    solvers, results, setup_time, chunks = build_and_warm(dtype, chunks)
+    # --- cold pass: construction + first solve, compiles included -------
+    solvers, results, setup_time, first_secs, chunks = build_and_warm(
+        dtype, chunks
+    )
     n_solved = sum(r["info"]["status"] == "solved" for r in results)
     f64_ok = jax.default_backend() not in ("tpu", "axon")
     if n_solved < B and dtype == "float32" and f64_ok:
@@ -254,10 +335,14 @@ def bench_batched_qp():
         # cannot compile f64; on TPU the honest n_solved is reported)
         dtype = "float64"
         itemsize = 8
-        solvers, results, setup_time, chunks = build_and_warm(
+        solvers, results, setup_time, first_secs, chunks = build_and_warm(
             dtype, max(chunks * 2, 4)
         )
         n_solved = sum(r["info"]["status"] == "solved" for r in results)
+    # end-to-end cold: setup (equilibrate+factorize, compiles included) +
+    # first solve (loop compiles included); data generation excluded
+    e2e_cold_secs = setup_time + first_secs
+    e2e_cold_pps = B / e2e_cold_secs
 
     setup_parts = {"host_gen": round(gen_time, 3)}
     for k in ("transfer", "equilibrate", "factorize", "compute_g"):
@@ -265,15 +350,15 @@ def bench_batched_qp():
             sum(s.setup_breakdown[k] for s in solvers), 3
         )
 
-    # timed run (compiled, cold-started states)
+    # --- steady-state solve (compiled, cold-started states) -------------
     for s in solvers:
         s.reset()
     t0 = time.perf_counter()
     results = [r for s in solvers for r in s.solve()]
     elapsed = time.perf_counter() - t0
-
-    pps = B / elapsed
+    solve_pps = B / elapsed
     iters = np.array([r["info"]["iter"] for r in results])
+    n_solved2 = sum(r["info"]["status"] == "solved" for r in results)
 
     # per-phase breakdown: measured per-call device time x iteration count
     pt = solvers[0].phase_times()
@@ -291,11 +376,53 @@ def bench_batched_qp():
     achieved_gbps = total_bytes / elapsed / 1e9
     hbm_util = achieved_gbps / V5E_PEAK_HBM_GBPS
 
+    # --- amortized pass (VERDICT r3 item 2): a SECOND batch of FRESH
+    # problems through the already-compiled programs — construction
+    # (equilibrate + factorize math) plus solve, demonstrating the
+    # "compile once, solve many batches" story instead of asserting it.
+    del solvers, results
+    import gc
+
+    gc.collect()
+    cb = -(-B // chunks)
+    amort_secs = 0.0
+    amort_solved = 0
+    amort_gen = 0.0
+    for i in range(chunks):
+        bsz = min(cb, B - i * cb)
+        t_g = time.perf_counter()
+        Ai, Pi, bi, ci = gen_batch_device(bsz, m, n, seed=5678 + i)
+        amort_gen += time.perf_counter() - t_g
+        t0 = time.perf_counter()
+        s = BatchedSCS(
+            {"A": Ai, "P": Pi, "b": bi, "c": ci},
+            {"l": m},
+            dtype=dtype,
+            eps_abs=eps,
+            eps_rel=eps,
+            max_iters=20000,
+            verbose=False,
+        )
+        rs = s.solve()
+        amort_secs += time.perf_counter() - t0
+        amort_solved += sum(r["info"]["status"] == "solved" for r in rs)
+        del s, rs
+        gc.collect()
+    amortized_pps = B / amort_secs
+
+    # --- bell sub-benchmark on the same chip (skippable) -----------------
+    bell = None
+    if os.environ.get("BENCH_SKIP_BELL") != "1":
+        try:
+            bell = _bell_submetric(eps=eps)
+        except Exception as exc:  # noqa: BLE001
+            bell = {"status": f"error: {exc}"}
+
     out = {
-        "metric": f"qp_n{n}_m{m}_b{B}_{dtype}_eps{eps:g}_throughput",
-        "value": round(pps, 3),
+        "metric": f"qp_n{n}_m{m}_b{B}_{dtype}_eps{eps:g}_amortized_throughput",
+        "value": round(amortized_pps, 3),
         "unit": "problems/sec",
-        "vs_baseline": round(pps / REF_PPS, 1),
+        "vs_baseline": round(amortized_pps / REF_PPS, 1),
         "baseline_pps": round(REF_PPS, 3),
         "baseline_derivation": (
             f"{REF_ANCHOR_EPS6_SECS}s/problem measured at eps=1e-6 "
@@ -304,12 +431,24 @@ def bench_batched_qp():
             "credited MKL multicore speedup"
         ),
         "matched_eps": eps,
-        "n_solved": n_solved,
+        # amortized pass: fresh problems, compiled programs, setup math
+        # INCLUDED (gen excluded: amort_gen_secs)
+        "amortized_pps": round(amortized_pps, 3),
+        "amortized_secs": round(amort_secs, 3),
+        "amortized_n_solved": amort_solved,
+        "amort_gen_secs": round(amort_gen, 3),
+        # cold end-to-end: all compiles included
+        "e2e_cold_pps": round(e2e_cold_pps, 3),
+        "e2e_cold_secs": round(e2e_cold_secs, 3),
+        "first_solve_secs": round(first_secs, 3),
+        # steady-state solve-phase only
+        "solve_pps": round(solve_pps, 3),
+        "solve_secs": round(elapsed, 3),
+        "n_solved": n_solved2,
         "batch": B,
         "chunks": chunks,
         "mean_iters": round(float(iters.mean()), 1),
         "max_iters_seen": max_it,
-        "solve_secs": round(elapsed, 3),
         "setup_secs": round(setup_time, 3),
         "setup_breakdown": setup_parts,
         "lin_sys_secs": round(lin_t, 3),
@@ -317,15 +456,25 @@ def bench_batched_qp():
         "accel_secs": round(accel_t, 3),
         "achieved_hbm_gbps": round(achieved_gbps, 1),
         "hbm_utilization": round(hbm_util, 3),
+        "bell": bell,
     }
     print(json.dumps(out))
     print(
-        f"# solved {n_solved}/{B} ({chunks} chunk(s)), mean iters "
-        f"{iters.mean():.0f} (max {max_it}), solve {elapsed:.2f}s, setup "
-        f"{setup_time:.2f}s {setup_parts}, dtype {dtype}\n"
+        f"# solved {n_solved2}/{B} ({chunks} chunk(s)), mean iters "
+        f"{iters.mean():.0f} (max {max_it}), dtype {dtype}\n"
+        f"# amortized {amortized_pps:.1f} pps (2nd batch incl. setup math), "
+        f"solve-only {solve_pps:.1f} pps, cold e2e {e2e_cold_pps:.2f} pps "
+        f"(setup {setup_time:.1f}s + first solve {first_secs:.1f}s)\n"
         f"# phases: lin_sys {lin_t:.2f}s, cone {cone_t:.2f}s, accel "
         f"{accel_t:.2f}s; HBM {achieved_gbps:.0f} GB/s "
-        f"({100 * hbm_util:.0f}% of v5e spec peak)",
+        f"({100 * hbm_util:.0f}% of v5e spec peak)"
+        + (
+            f"\n# bell: {bell['status']} {bell.get('iters', '?')} iters "
+            f"{bell.get('solve_secs', '?')}s solve, vs_baseline "
+            f"{bell.get('vs_baseline', '?')}"
+            if bell
+            else ""
+        ),
         file=sys.stderr,
     )
 
@@ -334,8 +483,6 @@ def bench_bell():
     """Sparse Pallas path: one large sparse LP via solver_strategy='bell'
     (compiled block-ELL SpMV kernel, VERDICT item 5), agreement-checked
     against the direct strategy on a smaller instance."""
-    from scipy import sparse as sp
-
     import scs_tpu
 
     _enable_compile_cache()
@@ -344,47 +491,12 @@ def bench_bell():
     m = int(os.environ.get("BENCH_M", "30000"))
     density = float(os.environ.get("BENCH_DENSITY", "0.002"))
     eps = float(os.environ.get("BENCH_EPS", "1e-4"))
-    rng = np.random.RandomState(7)
-
-    def gen_lp(m, n, density, bs=128, width=6):
-        # GENUINELY block-structured sparsity (network/assignment-style
-        # LPs): each 128-row block touches `width` random 128-column
-        # tiles. An unstructured sp.random at density 0.002 puts ~33 nnz
-        # in EVERY (128,128) tile, degenerating the block-ELL pack to
-        # dense storage (round-2 workload bug); this one keeps the pack
-        # at width/nbc (~4%) of dense, which is the regime the bell
-        # strategy exists for (the AUTO heuristic, api._block_ell_stats,
-        # agrees).
-        nbr, nbc = -(-m // bs), -(-n // bs)
-        tile_density = min(1.0, density * nbc / width)
-        per_tile = max(1, int(tile_density * bs * bs))
-        rows_l, cols_l = [], []
-        for r in range(nbr):
-            tiles = rng.choice(nbc, min(width, nbc), replace=False)
-            rr = rng.randint(0, bs, size=per_tile * len(tiles))
-            cc = rng.randint(0, bs, size=per_tile * len(tiles))
-            tb = np.repeat(tiles, per_tile)
-            rows_l.append(r * bs + rr)
-            cols_l.append(tb * bs + cc)
-        rows = np.concatenate(rows_l)
-        cols = np.concatenate(cols_l)
-        keep = (rows < m) & (cols < n)  # ragged edge tiles
-        rows, cols = rows[keep], cols[keep]
-        vals = rng.randn(len(rows))
-        A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
-        A = A + sp.eye(m, n, format="csc")  # full row rank
-        x0 = rng.randn(n)
-        s = np.abs(rng.randn(m))
-        b = A @ x0 + s
-        y = np.abs(rng.randn(m))
-        c = -(A.T @ y)
-        return {"A": sp.csc_matrix(A), "b": b, "c": c}
 
     # agreement check on a small instance: bell vs direct. eps=1e-5 is
     # the f32 accuracy envelope on TPU (the DR residual floors around
     # 3e-4 absolute here; see the dtype policy in settings.py) — the
     # solve itself runs at the reference's default eps=1e-4 anyway.
-    small = gen_lp(600, 400, 0.01)
+    small = gen_bell_lp(600, 400, 0.01, seed=7)
     sol_bell = scs_tpu.solve(
         small, {"l": 600}, solver_strategy="bell", bell_block_size=128,
         eps_abs=1e-5, eps_rel=1e-5, verbose=False, max_iters=30000,
@@ -400,42 +512,15 @@ def bench_bell():
     assert obj_gap < 1e-3, f"bell/direct objective gap {obj_gap}"
 
     # large instance, timed (compiled Pallas kernel on the real chip)
-    data = gen_lp(m, n, density)
-    solver = scs_tpu.SCS(
-        data, {"l": m}, solver_strategy="bell", eps_abs=eps, eps_rel=eps,
-        verbose=False, max_iters=50000,
-    )
-    t0 = time.perf_counter()
-    sol = solver.solve(warm_start=False)
-    elapsed = time.perf_counter() - t0
-    it = sol["info"]["iter"]
-
-    # reference anchor: the indirect-CG notebook run (scs_qp.ipynb cell 20)
-    # is the closest measured point: 19.1 s at eps=1e-6 for a 1500x1000
-    # dense QP (3e6 effective nnz incl. P). Scale by nnz ratio and the same
-    # generous eps-1e-4 iteration fraction as the main bench.
-    nnz = data["A"].nnz
-    ref_secs = 19.1 * (nnz / 3.0e6) * REF_ITER_FRACTION_EPS4
-    out = {
-        "metric": f"bell_lp_n{n}_m{m}_d{density:g}_eps{eps:g}_solve",
-        "value": round(elapsed, 3),
-        "unit": "seconds",
-        "vs_baseline": round(ref_secs / elapsed, 1),
-        "status": sol["info"]["status"],
-        "iters": it,
-        "cross_check_obj_gap": float(obj_gap),
-        "nnz": int(nnz),
-        "baseline_derivation": (
-            "19.1s indirect-CG anchor (scs_qp.ipynb cell 20, eps=1e-6) "
-            f"x nnz ratio {nnz / 3.0e6:.2f} x {REF_ITER_FRACTION_EPS4:.3f} "
-            "credited eps=1e-4 iteration fraction"
-        ),
-    }
+    out = _bell_submetric(m=m, n=n, density=density, eps=eps)
+    out["value"] = out["solve_secs"]
+    out["unit"] = "seconds"
+    out["cross_check_obj_gap"] = float(obj_gap)
     print(json.dumps(out))
     print(
-        f"# bell: {sol['info']['status']} in {it} iters, {elapsed:.2f}s; "
-        f"lin_sys {sol['info']['lin_sys_time']:.2f}s cone "
-        f"{sol['info']['cone_time']:.2f}s",
+        f"# bell: {out['status']} in {out['iters']} iters, "
+        f"{out['solve_secs']:.2f}s solve (setup {out['setup_secs']:.2f}s), "
+        f"vs_baseline {out['vs_baseline']}",
         file=sys.stderr,
     )
 

@@ -54,6 +54,45 @@ def _err(msg):
     raise ValueError(msg)
 
 
+_CACHE_DONE = False
+
+
+def ensure_compile_cache():
+    """Enable a persistent XLA compilation cache by default on TPU.
+
+    The reference amortizes its (cheap) setup inside one process; the
+    TPU build's setup cost is XLA compilation, amortized ACROSS
+    processes by this on-disk cache — without it every fresh process
+    pays the full solver-loop compile again. No-op when the user already
+    configured jax_compilation_cache_dir, on CPU-class backends (tests
+    manage their own cache), or with SCS_TPU_NO_COMPILE_CACHE=1.
+    """
+    global _CACHE_DONE
+    if _CACHE_DONE:
+        return
+    _CACHE_DONE = True
+    import os
+
+    if os.environ.get("SCS_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return
+        if jax.default_backend() not in ("tpu", "axon"):
+            return
+        path = os.environ.get(
+            "SCS_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/scs_tpu/xla_cache"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _default_dtype() -> str:
     """Backend-aware dtype default (VERDICT r2 item 8): float32 on TPU
     (f64 on TPU is emulated and crashes the Pallas paths), float64 on CPU
