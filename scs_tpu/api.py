@@ -249,8 +249,6 @@ class SCS:
             # Fully sparse preprocessing: equilibration, preconditioner
             # sums, and the block-ELL packs all run on CSC data — the
             # dense (m, n) array is never formed, host or device.
-            from .ops.sparse import pack_bell, pack_bell_sym
-
             P_full = None
             if has_P:
                 U = P_triu
@@ -266,22 +264,7 @@ class SCS:
                 Ah_sp, Ph_sp, bh, ch, spec_hat = (
                     self._A_input, P_full, b, c, spec,
                 )
-            bm = pack_bell(Ah_sp, self.stg.bell_block_size, dtype)
-            zmask = spec_hat.zero_row_mask().astype(np.float64)
-            Asq = Ah_sp.multiply(Ah_sp)  # sparse elementwise square
-            colsq_zero = np.asarray(zmask @ Asq).ravel()
-            bell = BellData(
-                A_blocks=bm.A_blocks,
-                A_cols=bm.A_cols,
-                At_blocks=bm.At_blocks,
-                At_cols=bm.At_cols,
-                colsq_all=bm.col_sq,
-                colsq_zero=jnp.asarray(colsq_zero, dtype),
-            )
-            if has_P:
-                pbell = pack_bell_sym(
-                    Ph_sp, self.stg.bell_block_size, dtype
-                )
+            bell, pbell = self._build_bell(Ah_sp, Ph_sp, spec_hat, dtype)
             Ah = np.zeros((0, 0))
         else:
             A_dense = (
@@ -330,7 +313,7 @@ class SCS:
             norm_c=jnp.asarray(np.linalg.norm(c), dtype),
         )
 
-        self.core = get_core(m, n, has_P, spec_hat, self.stg)
+        self.core = self._make_core(m, n, has_P, spec_hat)
         # setup = factorization (+ g); blocks until on device
         self._state0 = self.core.init_state(self.mats)
         _ = self._state0.gx.block_until_ready()
@@ -363,6 +346,36 @@ class SCS:
                     )
                 },
             )
+
+    # -- subclass hooks (parallel.ShardedSCS overrides both) ---------------
+
+    def _make_core(self, m, n, has_P, spec_hat):
+        """Compiled-core factory; ShardedSCS substitutes a mesh-aware
+        core (shard_map-wrapped programs) for the bell strategy."""
+        return get_core(m, n, has_P, spec_hat, self.stg)
+
+    def _build_bell(self, Ah_sp, Ph_sp, spec_hat, dtype):
+        """Pack the equilibrated sparse operator into block-ELL form.
+        Returns (bell, pbell). ShardedSCS overrides this with the
+        row-sharded per-device pack."""
+        from .ops.sparse import pack_bell, pack_bell_sym
+
+        bm = pack_bell(Ah_sp, self.stg.bell_block_size, dtype)
+        zmask = spec_hat.zero_row_mask().astype(np.float64)
+        Asq = Ah_sp.multiply(Ah_sp)  # sparse elementwise square
+        colsq_zero = np.asarray(zmask @ Asq).ravel()
+        bell = BellData(
+            A_blocks=bm.A_blocks,
+            A_cols=bm.A_cols,
+            At_blocks=bm.At_blocks,
+            At_cols=bm.At_cols,
+            colsq_all=bm.col_sq,
+            colsq_zero=jnp.asarray(colsq_zero, dtype),
+        )
+        pbell = None
+        if Ph_sp is not None:
+            pbell = pack_bell_sym(Ph_sp, self.stg.bell_block_size, dtype)
+        return bell, pbell
 
     # -- warm start plumbing ----------------------------------------------
 

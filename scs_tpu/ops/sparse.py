@@ -291,6 +291,77 @@ def pack_bell_sym(P_csc, block_size=128, dtype=jnp.float32):
     )
 
 
+def pack_bell_sharded(A_csc, n_dev, block_size=128, dtype=jnp.float32):
+    """Per-device block-ELL packs of (A, A^T) for a ROW-sharded operator
+    (SURVEY §2.4 "TPU mapping": row-block-sharded A over ICI).
+
+    The m rows (must be a multiple of n_dev*block_size — callers pre-pad
+    with zero-cone rows) are split contiguously into n_dev groups; device
+    d gets the pack of its row slice A_d AND the pack of A_d^T, so that
+
+        A @ x    = all_gather_d(A_d @ x)          (x replicated)
+        A^T @ y  = psum_d(A_d^T @ y_d)            (y_d = local rows)
+
+    — one (n,)-psum / (m,)-all-gather per matvec, riding the ICI ring.
+    Per-device widths are padded to the maximum across devices (padding
+    slots have zero tiles pointing at block 0 — harmless), and all arrays
+    are stacked with a leading n_dev axis for shard_map.
+
+    Returns (A_blocks, A_cols, At_blocks, At_cols, colsq_all) with
+    shapes (n_dev, nbr_loc, wA, bs, bs), (n_dev, nbr_loc, wA),
+    (n_dev, nbc, wAt, bs, bs), (n_dev, nbc, wAt), (n,).
+    """
+    from scipy import sparse as sp  # noqa: PLC0415
+
+    m, n = A_csc.shape
+    if m % (n_dev * block_size) != 0:
+        raise ValueError(
+            f"sharded bell pack requires m ({m}) to be a multiple of "
+            f"n_dev*block_size ({n_dev * block_size}); pad rows first"
+        )
+    m_loc = m // n_dev
+    A_csc = sp.csc_matrix(A_csc)
+    packs = [
+        pack_bell(
+            A_csc[d * m_loc : (d + 1) * m_loc], block_size, dtype
+        )
+        for d in range(n_dev)
+    ]
+
+    def stack_padded(blocks_list, cols_list):
+        w = max(b.shape[1] for b in blocks_list)
+        outs_b, outs_c = [], []
+        for b, c in zip(blocks_list, cols_list):
+            pad = w - b.shape[1]
+            if pad:
+                b = np.concatenate(
+                    [np.asarray(b), np.zeros(
+                        (b.shape[0], pad) + b.shape[2:], np.asarray(b).dtype
+                    )],
+                    axis=1,
+                )
+                c = np.concatenate(
+                    [np.asarray(c), np.zeros((c.shape[0], pad), np.int32)],
+                    axis=1,
+                )
+            outs_b.append(np.asarray(b))
+            outs_c.append(np.asarray(c))
+        return jnp.asarray(np.stack(outs_b), dtype), jnp.asarray(
+            np.stack(outs_c), jnp.int32
+        )
+
+    A_blocks, A_cols = stack_padded(
+        [p.A_blocks for p in packs], [p.A_cols for p in packs]
+    )
+    At_blocks, At_cols = stack_padded(
+        [p.At_blocks for p in packs], [p.At_cols for p in packs]
+    )
+    colsq_all = jnp.sum(
+        jnp.stack([jnp.asarray(p.col_sq, dtype) for p in packs]), axis=0
+    )
+    return A_blocks, A_cols, At_blocks, At_cols, colsq_all
+
+
 def _pack_bell_numpy(A_csc, bs):
     """Pure-numpy block-ELL packer (fallback when g++ is unavailable)."""
     m, n = A_csc.shape

@@ -52,25 +52,44 @@ class ShardedSCS(SCS):
         self.mesh = mesh
         self._rows_axis = mesh.axis_names[0]
         n_dev = int(np.prod(list(mesh.shape.values())))
+        self._n_dev = n_dev
 
-        # matrix-free CG is the strategy that shards: no (n, n) dense
-        # factor, and every operator touch is an A / A^T matvec. The
-        # Pallas block-ELL pack is NOT sharded by this class (its tile
-        # arrays would need shard_map plumbing) — reject "bell" rather
-        # than silently replicating the pack on every device.
+        # Two sharding strategies, both matrix-free (no (n, n) dense
+        # factor; every operator touch is an A / A^T matvec):
+        #   "indirect" — dense A row-sharded, XLA SPMD places the psum;
+        #   "bell"     — the block-ELL pack row-sharded via shard_map
+        #                (ShardedBellCore), for giant SPARSE problems
+        #                whose dense form fits on no single chip.
         strategy = settings.setdefault("solver_strategy", "indirect")
-        if strategy != "indirect":
+        if strategy not in ("indirect", "bell"):
             raise ValueError(
-                "ShardedSCS requires solver_strategy='indirect' (dense "
-                "row-sharded A + psum-CG); the block-ELL 'bell' pack is "
-                "not sharded by this class"
+                "ShardedSCS requires solver_strategy='indirect' or 'bell'"
             )
+        self._bell_mode = strategy == "bell"
+        if self._bell_mode:
+            if data.get("P") is not None:
+                raise ValueError(
+                    "quadratic cost P is not supported on the sharded "
+                    "bell path yet"
+                )
+            if settings.get("phase_timing") == "always":
+                raise ValueError(
+                    "phase_timing='always' is not supported on the "
+                    "sharded bell path"
+                )
 
         b = np.asarray(
             data["b"].todense() if _sp.issparse(data["b"]) else data["b"],
             np.float64,
         ).ravel()
-        pad = (-len(b)) % n_dev
+        # bell: each device's row slice must pack into whole (bs x bs)
+        # tiles, so rows pad to a multiple of n_dev * block_size
+        pad_mult = (
+            n_dev * int(settings.get("bell_block_size", 128))
+            if self._bell_mode
+            else n_dev
+        )
+        pad = (-len(b)) % pad_mult
         self._row_pad = pad
         if pad:
             data = dict(data)
@@ -88,6 +107,12 @@ class ShardedSCS(SCS):
 
         super().__init__(data, cone, **settings)
 
+        if self._bell_mode:
+            # _build_bell already placed the per-device packs with their
+            # leading-axis sharding, and the shard_map-wrapped core
+            # (ShardedBellCore) computed _state0 under the mesh.
+            return
+
         # place the operator: A row-sharded, everything else replicated
         row = NamedSharding(mesh, P(self._rows_axis, None))
         rep = NamedSharding(mesh, P())
@@ -103,6 +128,42 @@ class ShardedSCS(SCS):
         with self.mesh:
             self._state0 = self.core.init_state(self.mats)
             _ = self._state0.gx.block_until_ready()
+
+    # -- strategy hooks -----------------------------------------------------
+
+    def _make_core(self, m, n, has_P, spec_hat):
+        if self._bell_mode:
+            from .sharded_bell import ShardedBellCore
+
+            return ShardedBellCore(
+                m, n, has_P, spec_hat, self.stg, self.mesh, self._rows_axis
+            )
+        return super()._make_core(m, n, has_P, spec_hat)
+
+    def _build_bell(self, Ah_sp, Ph_sp, spec_hat, dtype):
+        from ..ops.sparse import pack_bell_sharded
+        from ..solver import BellData
+
+        import jax.numpy as jnp
+
+        bs = int(self.stg.bell_block_size)
+        Ab, Ac, Atb, Atc, colsq_all = pack_bell_sharded(
+            Ah_sp, self._n_dev, bs, dtype
+        )
+        zmask = spec_hat.zero_row_mask().astype(np.float64)
+        Asq = Ah_sp.multiply(Ah_sp)
+        colsq_zero = np.asarray(zmask @ Asq).ravel()
+        shard = NamedSharding(self.mesh, P(self._rows_axis))
+        rep = NamedSharding(self.mesh, P())
+        bell = BellData(
+            A_blocks=jax.device_put(Ab, shard),
+            A_cols=jax.device_put(Ac, shard),
+            At_blocks=jax.device_put(Atb, shard),
+            At_cols=jax.device_put(Atc, shard),
+            colsq_all=jax.device_put(colsq_all, rep),
+            colsq_zero=jax.device_put(jnp.asarray(colsq_zero, dtype), rep),
+        )
+        return bell, None
 
     def _update_locked(self, b=None, c=None):
         if b is not None and self._row_pad:

@@ -162,14 +162,84 @@ def test_sharded_infeasible_update_feasible():
     assert len(s2["y"]) == 4 and len(s2["s"]) == 4
 
 
-def test_sharded_rejects_bell():
-    from scs_tpu.parallel import ShardedSCS, make_mesh
+def _blocky_lp(m, n, seed=0):
+    """Feasible LP with a sparse (but tile-friendly) A."""
+    rng = np.random.RandomState(seed)
+    A = _sp.random(m, n, density=0.3, random_state=rng, format="csc")
+    A.data = rng.randn(A.nnz)
+    A = (A + _sp.eye(m, n, format="csc")).tocsc()
+    x0 = rng.randn(n)
+    s = np.abs(rng.randn(m))
+    b = A @ x0 + s
+    y = np.abs(rng.randn(m))
+    c = -(A.T @ y)
+    return {"A": A, "b": b, "c": c}
+
+
+def test_sharded_bell_matches_unsharded():
+    """Row-sharded block-ELL solve (VERDICT r3 item 7) agrees with the
+    single-device direct strategy on the same LP."""
+    d = _blocky_lp(24, 10, seed=3)
+    ref = scs.solve(
+        dict(d), {"l": 24}, solver_strategy="direct", verbose=False,
+        eps_abs=1e-6, eps_rel=1e-6, max_iters=20000,
+    )
+    solver = ShardedSCS(
+        dict(d),
+        {"l": 24},
+        mesh=make_mesh(4, axis_name="rows"),
+        solver_strategy="bell",
+        bell_block_size=4,
+        verbose=False,
+        eps_abs=1e-6,
+        eps_rel=1e-6,
+        max_iters=20000,
+    )
+    sol = solver.solve(warm_start=False)
+    assert sol["info"]["status"] == "solved"
+    assert len(sol["y"]) == 24 and len(sol["s"]) == 24
+    np.testing.assert_allclose(
+        sol["info"]["pobj"], ref["info"]["pobj"], rtol=1e-3, atol=1e-4
+    )
+    # KKT sanity on the original (unpadded) data
+    x, y, s = sol["x"], sol["y"], sol["s"]
+    A = d["A"].toarray()
+    assert np.linalg.norm(A @ x + s - d["b"]) < 1e-3 * (
+        1 + np.linalg.norm(d["b"])
+    )
+    assert np.linalg.norm(A.T @ y + d["c"]) < 1e-3 * (
+        1 + np.linalg.norm(d["c"])
+    )
+
+
+def test_sharded_bell_update_b():
+    """update(b) reuses the sharded workspace (factor-free path)."""
+    d = _blocky_lp(16, 8, seed=5)
+    solver = ShardedSCS(
+        dict(d),
+        {"l": 16},
+        mesh=make_mesh(4, axis_name="rows"),
+        solver_strategy="bell",
+        bell_block_size=4,
+        verbose=False,
+        max_iters=20000,
+    )
+    s1 = solver.solve(warm_start=False)
+    assert s1["info"]["status"] == "solved"
+    solver.update(b=d["b"] * 1.5)
+    s2 = solver.solve(warm_start=False)
+    assert s2["info"]["status"] == "solved"
+    assert abs(s1["info"]["pobj"] - s2["info"]["pobj"]) > 1e-10
+
+
+def test_sharded_bell_rejects_P():
     import pytest as _pytest
 
     A = _sp.csc_matrix(np.eye(4))
-    with _pytest.raises(ValueError, match="bell"):
+    with _pytest.raises(ValueError, match="P is not supported"):
         ShardedSCS(
-            {"A": A, "b": np.ones(4), "c": np.ones(4)},
+            {"A": A, "b": np.ones(4), "c": np.ones(4),
+             "P": _sp.eye(4, format="csc")},
             {"l": 4},
             mesh=make_mesh(4, axis_name="rows"),
             solver_strategy="bell",
