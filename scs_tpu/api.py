@@ -706,7 +706,7 @@ class SCS:
         if self._measured_phases is not None:
             lin_sys_time, cone_time, accel_time = self._measured_phases
         elif stg.phase_timing == "auto" and (stg.verbose or solve_time > 0.3):
-            pt = core.phase_times(state, mats)
+            pt = core.phase_times([self._state0, state], mats)
             # each iteration does one linear projection + one cone
             # projection; each AA trial adds a candidate solve + safeguard
             aa_trials = int(sc[14]) if core.lookback > 0 else 0

@@ -118,8 +118,16 @@ class BatchedSCS:
         # S/chol/S^-1 transients would otherwise live in its memory plan).
         settings.setdefault("rescale_in_chunk", False)
         # refinement doubles per-iteration A traffic; the batched flagship
-        # workload converges at eps=1e-4 without it (opt in for tight eps)
-        settings.setdefault("lin_refine_steps", 0)
+        # workload converges at eps=1e-4 without it. Tight tolerances get
+        # the auto policy (-1): high-accuracy mode needs 2 compensated
+        # refinement passes or the solve error floors above eps.
+        _eps_min = min(
+            float(settings.get("eps_abs", 1e-4)),
+            float(settings.get("eps_rel", 1e-4)),
+        )
+        settings.setdefault(
+            "lin_refine_steps", -1 if _eps_min < 3e-5 else 0
+        )
         # on-chip tuned defaults (B=512 flagship sweep): 50-iteration
         # chunks halve the residual-check overhead, with retirement at
         # every segment boundary (finer retirement measured ~8% faster
@@ -228,44 +236,49 @@ class BatchedSCS:
         self.core = get_core(m, n, has_P, spec, self.stg)
         core = self.core
 
-        def masked_chunk(state, mats):
-            """One chunk; problems that already terminated are frozen."""
-            new = core._chunk(state, mats)
-            keep = state.status == UNFINISHED
+        def make_run_seg(c):
+            def masked_chunk(state, mats):
+                """One chunk; problems that already terminated freeze."""
+                new = c._chunk(state, mats)
+                keep = state.status == UNFINISHED
 
-            def merge(old, newv):
-                k = keep
-                return jnp.where(k, newv, old) if old.ndim == 0 else jnp.where(
-                    k.reshape((1,) * old.ndim), newv, old
-                )
+                def merge(old, newv):
+                    k = keep
+                    return jnp.where(k, newv, old) if old.ndim == 0 else jnp.where(
+                        k.reshape((1,) * old.ndim), newv, old
+                    )
 
-            merged = jax.tree.map(merge, state, new)
-            if core.rescale_in_chunk:
-                return merged
-            # with the refactorization hoisted out of the chunk, the
-            # factor and g are loop-INVARIANT — carry the old buffers
-            # through verbatim so XLA's memory plan never double-buffers
-            # the (n, n) factor
-            return merged._replace(L=state.L, gx=state.gx, gy=state.gy)
+                merged = jax.tree.map(merge, state, new)
+                if c.rescale_in_chunk:
+                    return merged
+                # with the refactorization hoisted out of the chunk, the
+                # factor and g are loop-INVARIANT — carry the old
+                # buffers through verbatim so XLA's memory plan never
+                # double-buffers the (n, n) factor
+                return merged._replace(L=state.L, gx=state.gx, gy=state.gy)
 
-        vchunk = jax.vmap(masked_chunk)
+            vchunk = jax.vmap(masked_chunk)
 
-        def run_seg(states, mats, max_iters, seg):
-            """Run at most `seg` chunks (early exit when all finish) —
-            the segment between host-side retirement checkpoints."""
+            def run_seg(states, mats, max_iters, seg):
+                """Run at most `seg` chunks (early exit when all finish)
+                — the segment between host-side retirement checkpoints."""
 
-            def cond(carry):
-                s, k = carry
-                return jnp.any(
-                    (s.status == UNFINISHED) & (s.it < max_iters)
-                ) & (k < seg)
+                def cond(carry):
+                    s, k = carry
+                    return jnp.any(
+                        (s.status == UNFINISHED) & (s.it < max_iters)
+                    ) & (k < seg)
 
-            def body(carry):
-                s, k = carry
-                return vchunk(s, mats), k + 1
+                def body(carry):
+                    s, k = carry
+                    return vchunk(s, mats), k + 1
 
-            s, _ = lax.while_loop(cond, body, (states, jnp.int32(0)))
-            return s
+                s, _ = lax.while_loop(cond, body, (states, jnp.int32(0)))
+                return s
+
+            return run_seg
+
+        run_seg = make_run_seg(core)
 
         def finalize_pack(state, mats):
             """Finalize + pack every per-problem scalar into ONE row so
@@ -346,31 +359,51 @@ class BatchedSCS:
 
     def phase_times(self):
         """Measured per-call device time of each phase for the WHOLE batch
-        (seconds per batched call): jit(vmap(phase)) at the true shapes.
-        Multiply by the iteration count for a per-phase time breakdown —
-        the batched analogue of the reference's lin_sys/cone/accel timers
-        (scs/scsobject.h:1088-1092)."""
+        (seconds per batched call): jit(vmap(phase dispatch)) at the true
+        shapes, mirroring the single-problem instrumented decomposition
+        (Core.phase_times). Multiply by the iteration count for a
+        per-phase breakdown — the batched analogue of the reference's
+        lin_sys/cone/accel timers (scs/scsobject.h:1088-1092)."""
         if self._phase_cache is not None:
             return self._phase_cache
         if self._states is None:
             self.reset()
-        fns = self.core._phase_fns()
-        out = {}
-        for name, fn in fns.items():
-            if name == "accel_trial" and self.core.lookback == 0:
-                out[name] = 0.0
-                continue
-            j = jax.jit(_hp(jax.vmap(fn)))
-            r = j(self._states, self.mats)
-            jax.block_until_ready(r)
+        core = self.core
+
+        vlin = jax.jit(_hp(jax.vmap(core._step_lin)))
+        vcone = jax.jit(
+            _hp(jax.vmap(lambda s, ut, px, ck, m: core._step_cone(s, ut, px, ck, m)))
+        )
+        vtail = jax.jit(_hp(jax.vmap(core._iter_tail)))
+        vdoc = jax.jit(jax.vmap(core._doctored_trial_state))
+
+        def time5(call):
+            out = call()
+            jax.block_until_ready(out)
             reps = 5
             t0 = time.perf_counter()
             for _ in range(reps):
-                r = j(self._states, self.mats)
-            jax.block_until_ready(r)
-            out[name] = (time.perf_counter() - t0) / reps
-        self._phase_cache = out
-        return out
+                jax.block_until_ready(call())
+            return (time.perf_counter() - t0) / reps
+
+        st, mats = self._states, self.mats
+        lin_out = vlin(st, mats)
+        jax.block_until_ready(lin_out[0])
+        t_lin = time5(lambda: vlin(st, mats)[0])
+        t_cone = time5(lambda: vcone(st, *lin_out, mats).w)
+        t_accel = 0.0
+        if core.lookback > 0:
+            std = vdoc(st)
+            lo = vlin(std, mats)
+            st1 = vcone(std, *lo, mats)
+            jax.block_until_ready(st1.w)
+            t_accel = time5(lambda: vtail(std, st1, mats).w)
+        self._phase_cache = {
+            "lin_sys": t_lin,
+            "cone": t_cone,
+            "accel_trial": t_accel,
+        }
+        return self._phase_cache
 
     def reset(self):
         """Re-initialize all solver states (cold start)."""
@@ -506,39 +539,68 @@ class BatchedSCS:
 
         dbg = _os.environ.get("SCS_TPU_TIMING") == "1"
         pending = []
-        while True:
-            t_dbg = time.perf_counter()
-            states = self._vrun_seg(states, mats, max_iters, seg)
-            if dbg:
-                jax.block_until_ready(states.it)
-                print(
-                    f"# seg dispatch+run {time.perf_counter() - t_dbg:.3f}s "
-                    f"(cur={len(positions)})",
-                    flush=True,
-                )
-                t_dbg = time.perf_counter()
+        # device-iteration accounting: lockstep cost = sum over segments
+        # of (bucket size x iterations run), vs the productive per-problem
+        # iteration count — the honest utilization denominator
+        self.device_prob_iters = 0
+        prev_maxit = 0
+
+        def seg_len(cur):
+            # Once compacted to the ladder floor there are no more
+            # retirement decisions — only termination detection — so run
+            # several chunks per host poll (the device early-exits once
+            # all problems terminate). At bucket 32 the per-chunk host
+            # round-trip otherwise costs ~30-50% of the straggler tail.
+            if compact and cur <= self._MIN_BUCKET:
+                return max(seg, 8)
+            return seg
+
+        def probe_of(st):
             # probe rides f32: the tunnel's FIRST device->host transfer
             # of each non-f32 dtype stalls for minutes (measured: int32
             # ~80 s, bool ~290 s; f32 ~30 ms) — every host-consumed value
             # in this package is fetched as f32 for that reason
-            probe = np.asarray(
-                jnp.stack(
-                    [
-                        states.status.astype(jnp.float32),
-                        states.it.astype(jnp.float32),
-                        states.rescale_trigger.astype(jnp.float32),
-                    ]
-                )
+            return jnp.stack(
+                [
+                    st.status.astype(jnp.float32),
+                    st.it.astype(jnp.float32),
+                    st.rescale_trigger.astype(jnp.float32),
+                ]
             )
+
+        # Speculative segment pipelining: the NEXT segment is dispatched
+        # before this segment's probe is fetched, so the device never
+        # idles on the host round-trip. Retirement/rescale decisions from
+        # probe k apply to the speculatively-advanced state k+1 — valid
+        # (finished problems are frozen by the mask; a stale rescale
+        # trigger re-evaluates inside rescale_step), just one segment
+        # later than the non-speculative loop would apply them.
+        states = self._vrun_seg(states, mats, max_iters, seg_len(B))
+        while True:
+            t_dbg = time.perf_counter()
+            nxt = self._vrun_seg(
+                states, mats, max_iters, seg_len(len(positions))
+            )
+            probe = np.asarray(probe_of(states))  # waits on `states` only
             if dbg:
                 print(
-                    f"# probe fetch {time.perf_counter() - t_dbg:.3f}s "
-                    f"it={probe[1].max()}",
+                    f"# seg+probe {time.perf_counter() - t_dbg:.3f}s "
+                    f"(cur={len(positions)}, it={probe[1].max():.0f})",
                     flush=True,
                 )
             status_np, it_np, trig_np = probe[0], probe[1], probe[2]
+            max_it_now = int(it_np.max())
+            chunks_run = -(-(max_it_now - prev_maxit) // max(
+                int(self.stg.check_interval), 1
+            ))
+            self.device_prob_iters += (
+                len(positions) * chunks_run * int(self.stg.check_interval)
+            )
+            prev_maxit = max_it_now
             done = (status_np != UNFINISHED) | (it_np >= max_iters)
             if done.all():
+                # nxt == states here (the speculative segment runs zero
+                # chunks once every problem has terminated)
                 pending.append(
                     (
                         self._vfinalize(states, mats),
@@ -548,6 +610,7 @@ class BatchedSCS:
                     )
                 )
                 break
+            states = nxt
             if trig_np.any():
                 # some problem's adaptive scale drifted: run the separate
                 # refactorization program (kept out of the hot loop)
@@ -560,7 +623,9 @@ class BatchedSCS:
             while target // 2 >= max(n_act, self._MIN_BUCKET):
                 target //= 2
             if target < cur:
-                # retire the finished problems, then compact the rest
+                # retire the finished problems, then compact the rest.
+                # `done` is one segment stale; the retired problems are
+                # frozen in `states`, so their finalize pack is identical.
                 pending.append(
                     (
                         self._vfinalize(states, mats),

@@ -53,9 +53,11 @@ REF_PPS = REF_MULTICORE_FACTOR / (REF_ANCHOR_EPS6_SECS * REF_ITER_FRACTION_EPS4)
 V5E_PEAK_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
 
 
-def gen_batch(B, m, n, seed=1234, dtype=np.float64):
+def gen_batch(B, m, n, seed=1234, dtype=np.float64, return_opt=False):
     """Dense random QP batch (notebook recipe: well-conditioned A, PSD P),
-    constructed feasible-by-design like test/gen_random_cone_prob.py."""
+    constructed feasible-by-design like test/gen_random_cone_prob.py.
+    With return_opt=True, also returns the planted per-problem optimal
+    objectives p* (exact by KKT construction, computed in f64)."""
     rng = np.random.RandomState(seed)
     A = (rng.standard_normal((B, m, n)) / np.sqrt(m)).astype(dtype)
     G = rng.standard_normal((B, n, n // 8)).astype(dtype)
@@ -69,6 +71,12 @@ def gen_batch(B, m, n, seed=1234, dtype=np.float64):
     x = rng.standard_normal((B, n)).astype(dtype)
     c = -(A.transpose(0, 2, 1) @ y[..., None])[..., 0] - (P @ x[..., None])[..., 0]
     b = (A @ x[..., None])[..., 0] + s
+    if return_opt:
+        Px = (P @ x[..., None])[..., 0]
+        p_star = 0.5 * np.einsum("bn,bn->b", x, Px) + np.einsum(
+            "bn,bn->b", c, x
+        )
+        return A, P, b, c, p_star
     return A, P, b, c
 
 
@@ -201,6 +209,51 @@ def _bell_submetric(m=30000, n=20000, density=0.002, eps=1e-4):
             f"scs_qp.ipynb cell 20, 3.0e6 nnz) x nnz ratio {nnz / 3.0e6:.2f}"
             f" x measured {it} iters"
         ),
+    }
+
+
+def _hi_acc_submetric(B=32, m=1500, n=1000):
+    """eps=1e-6 flagship-family QPs ON CHIP in f32 (VERDICT r4 item 5):
+    compensated double-f32 residuals + refinement certify tolerances no
+    plain-f32 path can even measure. Problems are feasible-by-
+    construction with KNOWN f64 optima (computed on host), so the
+    objective check is against f64 ground truth without needing f64 on
+    the device."""
+    from scs_tpu.batch import solve_batch
+
+    t0 = time.perf_counter()
+    A, P, b, c, p_star = gen_batch(
+        B, m, n, seed=4321, dtype=np.float64, return_opt=True
+    )
+    res = solve_batch(
+        {"A": A.astype(np.float32), "P": P.astype(np.float32),
+         "b": b, "c": c},
+        {"l": m},
+        dtype="float32", eps_abs=1e-6, eps_rel=1e-6,
+        acceleration_lookback=5, max_iters=50000, verbose=False,
+    )
+    elapsed = time.perf_counter() - t0
+    n_solved = sum(r["info"]["status"] == "solved" for r in res)
+    objs = np.array([r["info"]["pobj"] for r in res])
+    err = np.abs(objs - p_star)
+    rel = err / (1 + np.abs(p_star))
+    iters = [r["info"]["iter"] for r in res]
+    return {
+        "metric": f"qp_n{n}_m{m}_b{B}_f32_eps1e-06_hi_accuracy",
+        "status": "solved" if n_solved == B else "partial",
+        "n_solved": n_solved,
+        "batch": B,
+        "max_obj_err_vs_f64": float(err.max()),
+        "max_obj_rel_err_vs_f64": float(rel.max()),
+        "obj_decimals": int(-np.log10(max(float(err.max()), 1e-300))),
+        "obj_sig_digits": int(-np.log10(max(float(rel.max()), 1e-300))),
+        # honest caveat: certification is genuine (compensated f32
+        # residuals) but the last decade of convergence crawls along the
+        # f32 iterate-quantization floor — iteration counts here are far
+        # above the reference's f64 anchor (225 at eps=1e-6); true
+        # parity would need double-f32 ITERATE storage (future work)
+        "mean_iters": round(float(np.mean(iters)), 1),
+        "secs": round(elapsed, 3),
     }
 
 
@@ -369,12 +422,21 @@ def bench_batched_qp():
     accel_t = pt["accel_trial"] * aa_trials * chunks
 
     # bandwidth model: per device iteration each ACTIVE problem streams A
-    # twice (A^T wy and A px), S^-1 once, P once. With retirement the
-    # device-iteration count is per-problem, so sum over problems.
+    # twice (A^T wy and A px), S^-1 once, P once.
+    #   * productive view: only each problem's own iterations count
+    #     (retired-in-lockstep work is waste) -> achieved_hbm_gbps;
+    #   * device view: every (bucket x chunk) actually executed counts
+    #     -> device_hbm_gbps. The ratio productive/device is the
+    #     lockstep efficiency; device_hbm_gbps vs the op-level ceiling
+    #     (~535 GB/s-equiv measured for this GEMV mix, tools/
+    #     perf_probe.py) attributes the rest.
     bytes_per_prob_iter = itemsize * (2 * m * n + n * n + n * n)
     total_bytes = bytes_per_prob_iter * float(iters.sum())
     achieved_gbps = total_bytes / elapsed / 1e9
     hbm_util = achieved_gbps / V5E_PEAK_HBM_GBPS
+    device_iters = float(sum(s.device_prob_iters for s in solvers))
+    device_gbps = bytes_per_prob_iter * device_iters / elapsed / 1e9
+    lockstep_eff = float(iters.sum()) / max(device_iters, 1.0)
 
     # --- amortized pass (VERDICT r3 item 2): a SECOND batch of FRESH
     # problems through the already-compiled programs — construction
@@ -418,6 +480,14 @@ def bench_batched_qp():
         except Exception as exc:  # noqa: BLE001
             bell = {"status": f"error: {exc}"}
 
+    # --- eps=1e-6 high-accuracy sub-benchmark (skippable) ----------------
+    hi_acc = None
+    if os.environ.get("BENCH_SKIP_HIACC") != "1":
+        try:
+            hi_acc = _hi_acc_submetric()
+        except Exception as exc:  # noqa: BLE001
+            hi_acc = {"status": f"error: {exc}"}
+
     out = {
         "metric": f"qp_n{n}_m{m}_b{B}_{dtype}_eps{eps:g}_amortized_throughput",
         "value": round(amortized_pps, 3),
@@ -456,7 +526,11 @@ def bench_batched_qp():
         "accel_secs": round(accel_t, 3),
         "achieved_hbm_gbps": round(achieved_gbps, 1),
         "hbm_utilization": round(hbm_util, 3),
+        "device_hbm_gbps": round(device_gbps, 1),
+        "device_hbm_utilization": round(device_gbps / V5E_PEAK_HBM_GBPS, 3),
+        "lockstep_efficiency": round(lockstep_eff, 3),
         "bell": bell,
+        "hi_acc": hi_acc,
     }
     print(json.dumps(out))
     print(
@@ -466,13 +540,22 @@ def bench_batched_qp():
         f"solve-only {solve_pps:.1f} pps, cold e2e {e2e_cold_pps:.2f} pps "
         f"(setup {setup_time:.1f}s + first solve {first_secs:.1f}s)\n"
         f"# phases: lin_sys {lin_t:.2f}s, cone {cone_t:.2f}s, accel "
-        f"{accel_t:.2f}s; HBM {achieved_gbps:.0f} GB/s "
-        f"({100 * hbm_util:.0f}% of v5e spec peak)"
+        f"{accel_t:.2f}s; HBM {achieved_gbps:.0f} GB/s productive "
+        f"({100 * hbm_util:.0f}% of v5e spec peak), {device_gbps:.0f} GB/s "
+        f"device, lockstep eff {100 * lockstep_eff:.0f}%"
         + (
             f"\n# bell: {bell['status']} {bell.get('iters', '?')} iters "
             f"{bell.get('solve_secs', '?')}s solve, vs_baseline "
             f"{bell.get('vs_baseline', '?')}"
             if bell
+            else ""
+        )
+        + (
+            f"\n# hi-acc eps=1e-6 f32: {hi_acc['status']} "
+            f"{hi_acc.get('n_solved', '?')}/{hi_acc.get('batch', '?')}, "
+            f"obj vs f64 to {hi_acc.get('obj_decimals', '?')} decimals "
+            f"(max err {hi_acc.get('max_obj_err_vs_f64', float('nan')):.2e})"
+            if hi_acc
             else ""
         ),
         file=sys.stderr,

@@ -154,3 +154,42 @@ def test_instrumented_phase_timers_and_per_iteration_csv(tmp_path):
     info2 = sol2["info"]
     total2 = info2["lin_sys_time"] + info2["cone_time"] + info2["accel_time"]
     assert total2 > 0.2 * info2["solve_time"]
+
+
+def test_auto_timers_within_20pct_of_instrumented():
+    """Default ('auto') phase timers must track instrumented ground truth
+    (VERDICT r3 item 8): per-ITERATION lin_sys + cone cost from the
+    calibration-based estimate within 20% of the split-dispatch
+    measurement on a flagship-family QP (direct strategy, where per-
+    iteration phase cost is state-independent)."""
+    import numpy as np
+    from scipy import sparse as sp
+
+    # sized so per-dispatch COMPUTE (~ms) dominates python dispatch
+    # overhead (~0.3 ms): at small shapes both timing harnesses are
+    # jitter-dominated and the comparison is meaningless
+    rng = np.random.RandomState(11)
+    m, n = 1200, 800
+    A = rng.randn(m, n) / np.sqrt(m)
+    G = rng.randn(n, n // 8)
+    P = 0.1 / (n // 8) * (G @ G.T) + 1e-4 * np.eye(n)
+    x = rng.randn(n)
+    z = rng.randn(m)
+    y = np.maximum(z, 0)
+    c = -A.T @ y - P @ x
+    b = A @ x + (y - z)
+    data = {"A": sp.csc_matrix(A), "b": b, "c": c,
+            "P": sp.csc_matrix(np.triu(P))}
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, verbose=False, max_iters=20000)
+
+    inst = scs.SCS(data, {"l": m}, phase_timing="always", **kw).solve()
+    auto = scs.SCS(data, {"l": m}, phase_timing="auto", **kw).solve()
+    it_i = max(inst["info"]["iter"], 1)
+    it_a = max(auto["info"]["iter"], 1)
+    # compare per-iteration rates of the two dominant phases combined
+    # (combining damps per-phase dispatch-attribution noise)
+    rate_i = (inst["info"]["lin_sys_time"] + inst["info"]["cone_time"]) / it_i
+    rate_a = (auto["info"]["lin_sys_time"] + auto["info"]["cone_time"]) / it_a
+    assert rate_a > 0, "auto timers not populated on a >0.3s solve"
+    ratio = rate_a / rate_i
+    assert 0.8 < ratio < 1.25, (rate_a, rate_i, ratio)
