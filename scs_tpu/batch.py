@@ -88,6 +88,167 @@ def recommend_chunks(B, m, n, has_P, itemsize=4, budget=None) -> int:
     return int(min(p, B))
 
 
+def _batch_programs(core):
+    """Jitted batched-program bundle, cached ON the core: every
+    BatchedSCS instance with the same (shape, cone structure, settings)
+    shares the same jit wrappers, so repeated construction (parametric
+    sweeps, the bench's amortized second batch) reuses compiled
+    executables via jax's fast path instead of re-tracing and
+    re-lowering every program (~5-10 s per instance through the tunnel).
+    """
+    cached = getattr(core, "_batch_progs", None)
+    if cached is not None:
+        return cached
+
+    spec = core.spec
+    dtype = core.dtype
+    m, n, has_P = core.m, core.n, core.has_P
+    normalize = core.stg.normalize
+    scale0 = float(core.stg.scale)
+    ids, nblocks = row_block_ids(spec)
+
+    def prep_one(A1, P1, b1, c1):
+        norm_b = jnp.linalg.norm(b1)
+        norm_c = jnp.linalg.norm(c1)
+        if normalize:
+            Ah, Ph, bh, ch, D, E, sc_b, sc_c, bl_h, bu_h = (
+                ruiz_equilibrate_jnp(
+                    A1,
+                    P1,
+                    b1,
+                    c1,
+                    ids=ids,
+                    nblocks=nblocks,
+                    box_off=spec.z + spec.l,
+                    bsize=spec.bsize,
+                    bl=spec.bl,
+                    bu=spec.bu,
+                )
+            )
+        else:
+            Ah, Ph, bh, ch = A1, P1, b1, c1
+            D, E = jnp.ones(m, dtype), jnp.ones(n, dtype)
+            sc_b = sc_c = jnp.asarray(1.0, dtype)
+            bl_h = jnp.asarray(spec.bl, dtype)
+            bu_h = jnp.asarray(spec.bu, dtype)
+        return Mats(
+            A=Ah,
+            P=Ph if has_P else jnp.zeros((0, 0), dtype),
+            bn=bh,
+            cn=ch,
+            bl=bl_h,
+            bu=bu_h,
+            D=D,
+            E=E,
+            sc_b=jnp.asarray(sc_b, dtype),
+            sc_c=jnp.asarray(sc_c, dtype),
+            norm_b=norm_b,
+            norm_c=norm_c,
+        )
+
+    def masked_chunk(state, mats):
+        """One chunk; problems that already terminated freeze."""
+        new = core._chunk(state, mats)
+        keep = state.status == UNFINISHED
+
+        def merge(old, newv):
+            k = keep
+            return jnp.where(k, newv, old) if old.ndim == 0 else jnp.where(
+                k.reshape((1,) * old.ndim), newv, old
+            )
+
+        merged = jax.tree.map(merge, state, new)
+        if core.rescale_in_chunk:
+            return merged
+        # with the refactorization hoisted out of the chunk, the factor
+        # and g are loop-INVARIANT — carry the old buffers through
+        # verbatim so XLA's memory plan never double-buffers the (n, n)
+        # factor
+        return merged._replace(L=state.L, gx=state.gx, gy=state.gy)
+
+    vchunk = jax.vmap(masked_chunk)
+
+    def run_seg(states, mats, max_iters, seg):
+        """Run at most `seg` chunks (early exit when all finish) — the
+        segment between host-side retirement checkpoints."""
+
+        def cond(carry):
+            s, k = carry
+            return jnp.any(
+                (s.status == UNFINISHED) & (s.it < max_iters)
+            ) & (k < seg)
+
+        def body(carry):
+            s, k = carry
+            return vchunk(s, mats), k + 1
+
+        s, _ = lax.while_loop(cond, body, (states, jnp.int32(0)))
+        return s
+
+    def finalize_pack(state, mats):
+        """Finalize + pack every per-problem scalar into ONE f32 row so
+        the host fetches 7 arrays total instead of ~50 (each D2H is a
+        full round-trip on a tunneled TPU; non-f32 first fetches stall
+        for minutes — see Core._final_scalars)."""
+        x, y, s, x_cert, y_cert, s_cert, relaxed, diag = core._finalize(
+            state, mats
+        )
+        f = lambda v: jnp.asarray(v, jnp.float32)
+        aa = state.aa
+        scal = jnp.stack(
+            [
+                f(state.status),
+                f(state.it),
+                f(relaxed),
+                f(state.scale_updates),
+                f(state.scale),
+                f(diag.pobj),
+                f(diag.dobj),
+                f(diag.res_pri),
+                f(diag.res_dual),
+                f(diag.gap),
+                f(diag.res_infeas),
+                f(diag.res_unbdd_a),
+                f(diag.res_unbdd_p),
+                f(diag.comp_slack),
+                f(aa.aa_iter),
+                f(aa.n_accept),
+                f(aa.n_reject_nonfinite),
+                f(aa.n_reject_weight_cap),
+                f(aa.n_safeguard_reject),
+                f(aa.count),
+                f(aa.last_aa_norm),
+                f(aa.last_reg),
+            ]
+        )
+        return x, y, s, x_cert, y_cert, s_cert, scal
+
+    def factorize_one(mats):
+        return core._factorize(mats, jnp.asarray(scale0, dtype))
+
+    def g_one(mats, L):
+        return core._compute_g(mats, jnp.asarray(scale0, dtype), L)
+
+    def fresh_one(L, gx, gy):
+        return core._fresh_state(L, gx, gy, jnp.asarray(scale0, dtype))
+
+    progs = {
+        "prep_P": jax.jit(_hp(jax.vmap(prep_one)), donate_argnums=(0, 1)),
+        "prep_noP": jax.jit(
+            _hp(jax.vmap(lambda A1, b1, c1: prep_one(A1, None, b1, c1))),
+            donate_argnums=(0,),
+        ),
+        "factorize": jax.jit(_hp(jax.vmap(factorize_one))),
+        "g": jax.jit(_hp(jax.vmap(g_one))),
+        "fresh": jax.jit(jax.vmap(fresh_one)),
+        "run_seg": jax.jit(_hp(run_seg), static_argnums=(2, 3)),
+        "rescale": jax.jit(_hp(jax.vmap(core.rescale_step))),
+        "finalize": jax.jit(_hp(jax.vmap(finalize_pack))),
+    }
+    core._batch_progs = progs
+    return progs
+
+
 class BatchedSCS:
     """Solve B same-shape cone problems simultaneously.
 
@@ -176,169 +337,26 @@ class BatchedSCS:
         jax.block_until_ready(A)
         t_transfer = time.perf_counter() - t0
 
-        ids, nblocks = row_block_ids(spec)
-        normalize = self.stg.normalize
-
-        def prep_one(A1, P1, b1, c1):
-            norm_b = jnp.linalg.norm(b1)
-            norm_c = jnp.linalg.norm(c1)
-            if normalize:
-                Ah, Ph, bh, ch, D, E, sc_b, sc_c, bl_h, bu_h = (
-                    ruiz_equilibrate_jnp(
-                        A1,
-                        P1,
-                        b1,
-                        c1,
-                        ids=ids,
-                        nblocks=nblocks,
-                        box_off=spec.z + spec.l,
-                        bsize=spec.bsize,
-                        bl=spec.bl,
-                        bu=spec.bu,
-                    )
-                )
-            else:
-                Ah, Ph, bh, ch = A1, P1, b1, c1
-                D, E = jnp.ones(m, dtype), jnp.ones(n, dtype)
-                sc_b = sc_c = jnp.asarray(1.0, dtype)
-                bl_h = jnp.asarray(spec.bl, dtype)
-                bu_h = jnp.asarray(spec.bu, dtype)
-            return Mats(
-                A=Ah,
-                P=Ph if has_P else jnp.zeros((0, 0), dtype),
-                bn=bh,
-                cn=ch,
-                bl=bl_h,
-                bu=bu_h,
-                D=D,
-                E=E,
-                sc_b=jnp.asarray(sc_b, dtype),
-                sc_c=jnp.asarray(sc_c, dtype),
-                norm_b=norm_b,
-                norm_c=norm_c,
-            )
-
         t1 = time.perf_counter()
+        self.core = get_core(m, n, has_P, spec, self.stg)
+        core = self.core
+        progs = _batch_programs(core)
+        self._vfactorize = progs["factorize"]
+        self._vg = progs["g"]
+        self._vfresh = progs["fresh"]
+        self._vrun_seg = progs["run_seg"]
+        self._vrescale = progs["rescale"]
+        self._vfinalize = progs["finalize"]
+
         # donate (A, P): the equilibrated copies alias the inputs instead
         # of doubling the live set — the difference between fitting B=512
         # in 16 GB HBM and RESOURCE_EXHAUSTED (VERDICT r2 missing #1)
         if has_P:
-            vprep = jax.jit(_hp(jax.vmap(prep_one)), donate_argnums=(0, 1))
-            self.mats = vprep(A, P, b, c)
+            self.mats = progs["prep_P"](A, P, b, c)
         else:
-            vprep = jax.jit(
-                _hp(jax.vmap(lambda A1, b1, c1: prep_one(A1, None, b1, c1))),
-                donate_argnums=(0,),
-            )
-            self.mats = vprep(A, b, c)
+            self.mats = progs["prep_noP"](A, b, c)
         jax.block_until_ready(self.mats.A)
         t_prep = time.perf_counter() - t1
-        self.core = get_core(m, n, has_P, spec, self.stg)
-        core = self.core
-
-        def make_run_seg(c):
-            def masked_chunk(state, mats):
-                """One chunk; problems that already terminated freeze."""
-                new = c._chunk(state, mats)
-                keep = state.status == UNFINISHED
-
-                def merge(old, newv):
-                    k = keep
-                    return jnp.where(k, newv, old) if old.ndim == 0 else jnp.where(
-                        k.reshape((1,) * old.ndim), newv, old
-                    )
-
-                merged = jax.tree.map(merge, state, new)
-                if c.rescale_in_chunk:
-                    return merged
-                # with the refactorization hoisted out of the chunk, the
-                # factor and g are loop-INVARIANT — carry the old
-                # buffers through verbatim so XLA's memory plan never
-                # double-buffers the (n, n) factor
-                return merged._replace(L=state.L, gx=state.gx, gy=state.gy)
-
-            vchunk = jax.vmap(masked_chunk)
-
-            def run_seg(states, mats, max_iters, seg):
-                """Run at most `seg` chunks (early exit when all finish)
-                — the segment between host-side retirement checkpoints."""
-
-                def cond(carry):
-                    s, k = carry
-                    return jnp.any(
-                        (s.status == UNFINISHED) & (s.it < max_iters)
-                    ) & (k < seg)
-
-                def body(carry):
-                    s, k = carry
-                    return vchunk(s, mats), k + 1
-
-                s, _ = lax.while_loop(cond, body, (states, jnp.int32(0)))
-                return s
-
-            return run_seg
-
-        run_seg = make_run_seg(core)
-
-        def finalize_pack(state, mats):
-            """Finalize + pack every per-problem scalar into ONE row so
-            the host fetches 7 arrays total instead of ~50 (each D2H is a
-            full round-trip on a tunneled TPU)."""
-            x, y, s, x_cert, y_cert, s_cert, relaxed, diag = core._finalize(
-                state, mats
-            )
-            f = lambda v: jnp.asarray(v, jnp.float32)
-            aa = state.aa
-            scal = jnp.stack(
-                [
-                    f(state.status),
-                    f(state.it),
-                    f(relaxed),
-                    f(state.scale_updates),
-                    f(state.scale),
-                    f(diag.pobj),
-                    f(diag.dobj),
-                    f(diag.res_pri),
-                    f(diag.res_dual),
-                    f(diag.gap),
-                    f(diag.res_infeas),
-                    f(diag.res_unbdd_a),
-                    f(diag.res_unbdd_p),
-                    f(diag.comp_slack),
-                    f(aa.aa_iter),
-                    f(aa.n_accept),
-                    f(aa.n_reject_nonfinite),
-                    f(aa.n_reject_weight_cap),
-                    f(aa.n_safeguard_reject),
-                    f(aa.count),
-                    f(aa.last_aa_norm),
-                    f(aa.last_reg),
-                ]
-            )
-            return x, y, s, x_cert, y_cert, s_cert, scal
-
-        # Setup as three SEPARATELY-jitted stages instead of one monolith
-        # (VERDICT r3 item 1a): each stage is a small stable program (one
-        # persistent-cache entry each), the host timer attributes the
-        # cost per stage, and the factorize stage — the only O(n^3) one —
-        # can be measured/compiled in isolation.
-        scale0 = float(self.stg.scale)
-
-        def factorize_one(mats):
-            return core._factorize(mats, jnp.asarray(scale0, dtype))
-
-        def g_one(mats, L):
-            return core._compute_g(mats, jnp.asarray(scale0, dtype), L)
-
-        def fresh_one(L, gx, gy):
-            return core._fresh_state(L, gx, gy, jnp.asarray(scale0, dtype))
-
-        self._vfactorize = jax.jit(_hp(jax.vmap(factorize_one)))
-        self._vg = jax.jit(_hp(jax.vmap(g_one)))
-        self._vfresh = jax.jit(jax.vmap(fresh_one))
-        self._vrun_seg = jax.jit(_hp(run_seg), static_argnums=(2, 3))
-        self._vrescale = jax.jit(_hp(jax.vmap(core.rescale_step)))
-        self._vfinalize = jax.jit(_hp(jax.vmap(finalize_pack)))
         t2 = time.perf_counter()
         L = self._vfactorize(self.mats)
         jax.block_until_ready(L)
