@@ -413,13 +413,21 @@ def bench_batched_qp():
     iters = np.array([r["info"]["iter"] for r in results])
     n_solved2 = sum(r["info"]["status"] == "solved" for r in results)
 
-    # per-phase breakdown: measured per-call device time x iteration count
+    # per-phase breakdown: the calibration gives RELATIVE per-call phase
+    # costs (each calibrated call includes one host round-trip, which on
+    # a tunneled TPU would dominate absolute numbers); attribute the
+    # measured solve wall by those fractions so the reported phase
+    # seconds are consistent with solve_secs
     pt = solvers[0].phase_times()
     max_it = int(iters.max())
     aa_trials = max_it // max(solvers[0].stg.acceleration_interval, 1)
-    lin_t = pt["lin_sys"] * max_it * chunks
-    cone_t = pt["cone"] * max_it * chunks
-    accel_t = pt["accel_trial"] * aa_trials * chunks
+    w_lin = pt["lin_sys"] * max_it
+    w_cone = pt["cone"] * max_it
+    w_accel = pt["accel_trial"] * aa_trials
+    w_tot = max(w_lin + w_cone + w_accel, 1e-12)
+    lin_t = elapsed * w_lin / w_tot
+    cone_t = elapsed * w_cone / w_tot
+    accel_t = elapsed * w_accel / w_tot
 
     # bandwidth model: per device iteration each ACTIVE problem streams A
     # twice (A^T wy and A px), S^-1 once, P once.

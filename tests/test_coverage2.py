@@ -484,9 +484,9 @@ def test_resolve_auto_large_unstructured_is_indirect():
     from scs_tpu.api import _resolve_strategy
 
     rng = np.random.RandomState(0)
-    m = n = 8192
-    # unstructured 0.5% density touches essentially every 128x128 tile
-    A = sp.random(m, n, density=0.005, random_state=rng, format="csc")
+    m = n = 4224  # > the 4096 direct cutoff
+    # unstructured 1% density touches essentially every 128x128 tile
+    A = sp.random(m, n, density=0.01, random_state=rng, format="csc")
     assert _resolve_strategy(scs.LinearSolver.AUTO, m, n, A, 128) == "indirect"
 
 

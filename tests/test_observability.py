@@ -169,7 +169,7 @@ def test_auto_timers_within_20pct_of_instrumented():
     # overhead (~0.3 ms): at small shapes both timing harnesses are
     # jitter-dominated and the comparison is meaningless
     rng = np.random.RandomState(11)
-    m, n = 1200, 800
+    m, n = 900, 600
     A = rng.randn(m, n) / np.sqrt(m)
     G = rng.randn(n, n // 8)
     P = 0.1 / (n // 8) * (G @ G.T) + 1e-4 * np.eye(n)
@@ -180,7 +180,7 @@ def test_auto_timers_within_20pct_of_instrumented():
     b = A @ x + (y - z)
     data = {"A": sp.csc_matrix(A), "b": b, "c": c,
             "P": sp.csc_matrix(np.triu(P))}
-    kw = dict(eps_abs=1e-6, eps_rel=1e-6, verbose=False, max_iters=20000)
+    kw = dict(eps_abs=1e-5, eps_rel=1e-5, verbose=False, max_iters=20000)
 
     inst = scs.SCS(data, {"l": m}, phase_timing="always", **kw).solve()
     auto = scs.SCS(data, {"l": m}, phase_timing="auto", **kw).solve()
