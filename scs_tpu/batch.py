@@ -375,6 +375,52 @@ class BatchedSCS:
         }
         self._phase_cache = None
 
+    def _prewarm_ladder(self, max_iters, seg):
+        """Background AOT compilation of the compaction-ladder program
+        sizes (B/2 ... _MIN_BUCKET) so their executables are ready by the
+        time the batch compacts: the compiles overlap with the full-size
+        segments already running on device. One thread per size exploits
+        any parallelism the compile service offers; failures are ignored
+        (the foreground jit path compiles on demand regardless)."""
+        import threading
+
+        def shapes_of(tree, size):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(
+                    (size,) + a.shape[1:], a.dtype
+                ),
+                tree,
+            )
+
+        # once per (core, B): re-lowering already-compiled sizes would
+        # waste background cycles on repeat solves
+        warmed = getattr(self.core, "_ladder_warmed", set())
+        if self.B in warmed:
+            return
+        warmed.add(self.B)
+        self.core._ladder_warmed = warmed
+
+        sizes = []
+        t = self.B // 2
+        while t >= self._MIN_BUCKET:
+            sizes.append(t)
+            t //= 2
+
+        def worker(size):
+            try:
+                st = shapes_of(self._states, size)
+                mt = shapes_of(self.mats, size)
+                s_eff = max(seg, 8) if size <= self._MIN_BUCKET else seg
+                self._vrun_seg.lower(st, mt, max_iters, s_eff).compile()
+                self._vfinalize.lower(st, mt).compile()
+            except Exception:
+                pass
+
+        for size in sizes:
+            threading.Thread(
+                target=worker, args=(size,), daemon=True
+            ).start()
+
     def phase_times(self):
         """Measured per-call device time of each phase for the WHOLE batch
         (seconds per batched call): jit(vmap(phase dispatch)) at the true
@@ -545,6 +591,10 @@ class BatchedSCS:
         results: list = [None] * B
         max_iters = int(self.stg.max_iters)
         compact = bool(self.stg.batch_compaction) and B >= 2 * self._MIN_BUCKET
+        if compact:
+            self._prewarm_ladder(
+                max_iters, max(1, int(self.stg.batch_compact_interval))
+            )
         # clamp: a non-positive segment length would make run_seg's cond
         # false immediately, so `it` never advances and this loop spins
         # forever on the host (ADVICE r3)
