@@ -259,6 +259,12 @@ class BatchedSCS:
         P: (B, n, n) dense, optional
         b: (B, m), c: (B, n)
     cone: one cone dict shared by the batch.
+
+    NOTE: A and P are DONATED into the equilibration program (the
+    equilibrated copies alias them — the difference between fitting
+    B=512 in HBM and OOM). If you pass jax device arrays, the caller's
+    references are consumed; pass numpy arrays (converted, caller copy
+    untouched) or re-generate per construction.
     """
 
     # compaction ladder floor: never compact below this many problems.
@@ -406,8 +412,13 @@ class BatchedSCS:
             sizes.append(t)
             t //= 2
 
-        def worker(size):
+        def worker(size, delay):
             try:
+                # stagger: let the FOREGROUND first-segment compile enter
+                # the (possibly FIFO) compile service queue before the
+                # ladder requests, and spread the ladder requests so the
+                # most-imminent size goes first
+                time.sleep(delay)
                 st = shapes_of(self._states, size)
                 mt = shapes_of(self.mats, size)
                 s_eff = max(seg, 8) if size <= self._MIN_BUCKET else seg
@@ -416,9 +427,9 @@ class BatchedSCS:
             except Exception:
                 pass
 
-        for size in sizes:
+        for i, size in enumerate(sizes):
             threading.Thread(
-                target=worker, args=(size,), daemon=True
+                target=worker, args=(size, 3.0 + 2.0 * i), daemon=True
             ).start()
 
     def phase_times(self):

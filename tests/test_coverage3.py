@@ -249,3 +249,70 @@ def test_time_limit_reports_partial():
         "unbounded_inaccurate", "indeterminate", "solved", "unbounded",
         "infeasible",
     )
+
+
+# ---------------------------------------------------------------------------
+# input canonicalization details (reference: P unsorted/CSR variants,
+# float32 inputs :various, warm-start arg validation)
+# ---------------------------------------------------------------------------
+
+
+def test_csr_P_warns_and_solves():
+    data, cone = _lp(seed=10)
+    rng = np.random.RandomState(10)
+    G = rng.randn(5, 2)
+    P = np.triu(G @ G.T * 0.1 + 1e-3 * np.eye(5))
+    data["P"] = sp.csr_matrix(P)
+    with pytest.warns(UserWarning, match="CSC"):
+        sol = scs.solve(data, cone, **_KW)
+    assert sol["info"]["status"] == "solved"
+
+
+def test_P_unsorted_indices_sorted_and_solved():
+    data, cone = _lp(seed=11)
+    rng = np.random.RandomState(11)
+    G = rng.randn(5, 3)
+    P = sp.csc_matrix(np.triu(G @ G.T * 0.1 + 1e-3 * np.eye(5)))
+    # force unsorted indices in some column with >= 2 entries
+    col = int(np.argmax(np.diff(P.indptr) >= 2))
+    s0, s1 = P.indptr[col], P.indptr[col] + 2
+    P.indices[s0:s1] = P.indices[s0:s1][::-1]
+    P.data[s0:s1] = P.data[s0:s1][::-1]
+    P.has_sorted_indices = False
+    data["P"] = P
+    sol = scs.solve(data, cone, **_KW)
+    assert sol["info"]["status"] == "solved"
+
+
+def test_float32_inputs_accepted():
+    data, cone = _lp(seed=12)
+    data["A"] = sp.csc_matrix(data["A"], dtype=np.float32)
+    data["b"] = data["b"].astype(np.float32)
+    data["c"] = data["c"].astype(np.float32)
+    sol = scs.solve(data, cone, **_KW)
+    assert sol["info"]["status"] == "solved"
+
+
+def test_warm_start_wrong_dims_raise():
+    data, cone = _lp(seed=13)
+    solver = scs.SCS(data, cone, **_KW)
+    for kw in ({"x": np.zeros(99)}, {"y": np.zeros(99)},
+               {"s": np.zeros(99)}):
+        with pytest.raises((ValueError, TypeError)):
+            solver.solve(warm_start=True, **kw)
+
+
+def test_write_data_and_log_csv_simultaneously(tmp_path):
+    """Both observability outputs in one solve (reference :1728-1751)."""
+    data, cone = _lp(seed=14)
+    fdata = str(tmp_path / "prob.npz")
+    fcsv = str(tmp_path / "log.csv")
+    sol = scs.solve(data, cone, write_data_filename=fdata,
+                    log_csv_filename=fcsv, **_KW)
+    assert sol["info"]["status"] == "solved"
+    import os
+    assert os.path.exists(fdata) and os.path.getsize(fdata) > 0
+    lines = open(fcsv).read().strip().splitlines()
+    assert len(lines) >= 2  # header + at least one row
+    from scs_tpu.io import CSV_COLUMNS
+    assert lines[0].rstrip(",").split(",") == CSV_COLUMNS
