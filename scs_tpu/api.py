@@ -493,7 +493,7 @@ class SCS:
         def step(s):
             if seg == 1:
                 return core._jit_chunk(s, mats)
-            return core._jit_multi_chunk(s, mats, seg)
+            return core._jit_multi_chunk(s, mats, seg, int(stg.max_iters))
 
         state = step(state)
         while True:

@@ -88,22 +88,35 @@ def recommend_chunks(B, m, n, has_P, itemsize=4, budget=None) -> int:
     return int(min(p, B))
 
 
-def _batch_programs(core):
+def _batch_programs(core, spec, normalize):
     """Jitted batched-program bundle, cached ON the core: every
     BatchedSCS instance with the same (shape, cone structure, settings)
     shares the same jit wrappers, so repeated construction (parametric
     sweeps, the bench's amortized second batch) reuses compiled
     executables via jax's fast path instead of re-tracing and
     re-lowering every program (~5-10 s per instance through the tunnel).
-    """
-    cached = getattr(core, "_batch_progs", None)
-    if cached is not None:
-        return cached
 
-    spec = core.spec
+    `spec` and `normalize` come from the INSTANCE, not from core.stg /
+    core.spec, and key the cache: the core's LRU key deliberately
+    ignores box-bound VALUES (spec_signature) and `normalize`, but
+    prep_one embeds both — sharing one bundle across instances that
+    differ in them would silently solve with the first instance's
+    bounds/normalization (code-review r4 finding).
+    """
+    key = (
+        bool(normalize),
+        np.asarray(spec.bl, np.float64).tobytes(),
+        np.asarray(spec.bu, np.float64).tobytes(),
+    )
+    cache = getattr(core, "_batch_progs", None)
+    if cache is None:
+        cache = {}
+        core._batch_progs = cache
+    if key in cache:
+        return cache[key]
+
     dtype = core.dtype
     m, n, has_P = core.m, core.n, core.has_P
-    normalize = core.stg.normalize
     scale0 = float(core.stg.scale)
     ids, nblocks = row_block_ids(spec)
 
@@ -146,31 +159,35 @@ def _batch_programs(core):
             norm_c=norm_c,
         )
 
-    def masked_chunk(state, mats):
-        """One chunk; problems that already terminated freeze."""
-        new = core._chunk(state, mats)
-        keep = state.status == UNFINISHED
-
-        def merge(old, newv):
-            k = keep
-            return jnp.where(k, newv, old) if old.ndim == 0 else jnp.where(
-                k.reshape((1,) * old.ndim), newv, old
-            )
-
-        merged = jax.tree.map(merge, state, new)
-        if core.rescale_in_chunk:
-            return merged
-        # with the refactorization hoisted out of the chunk, the factor
-        # and g are loop-INVARIANT — carry the old buffers through
-        # verbatim so XLA's memory plan never double-buffers the (n, n)
-        # factor
-        return merged._replace(L=state.L, gx=state.gx, gy=state.gy)
-
-    vchunk = jax.vmap(masked_chunk)
-
     def run_seg(states, mats, max_iters, seg):
         """Run at most `seg` chunks (early exit when all finish) — the
         segment between host-side retirement checkpoints."""
+
+        def masked_chunk(state, mats):
+            """One chunk; terminated AND iteration-capped problems
+            freeze. The max_iters freeze matters under speculative
+            pipelining: without it, a capped-but-UNFINISHED problem
+            would keep iterating in the speculative segment and be
+            finalized past its cap (code-review r4 finding)."""
+            new = core._chunk(state, mats)
+            keep = (state.status == UNFINISHED) & (state.it < max_iters)
+
+            def merge(old, newv):
+                k = keep
+                return jnp.where(k, newv, old) if old.ndim == 0 else jnp.where(
+                    k.reshape((1,) * old.ndim), newv, old
+                )
+
+            merged = jax.tree.map(merge, state, new)
+            if core.rescale_in_chunk:
+                return merged
+            # with the refactorization hoisted out of the chunk, the
+            # factor and g are loop-INVARIANT — carry the old buffers
+            # through verbatim so XLA's memory plan never double-buffers
+            # the (n, n) factor
+            return merged._replace(L=state.L, gx=state.gx, gy=state.gy)
+
+        vchunk = jax.vmap(masked_chunk)
 
         def cond(carry):
             s, k = carry
@@ -245,7 +262,7 @@ def _batch_programs(core):
         "rescale": jax.jit(_hp(jax.vmap(core.rescale_step))),
         "finalize": jax.jit(_hp(jax.vmap(finalize_pack))),
     }
-    core._batch_progs = progs
+    cache[key] = progs
     return progs
 
 
@@ -346,7 +363,7 @@ class BatchedSCS:
         t1 = time.perf_counter()
         self.core = get_core(m, n, has_P, spec, self.stg)
         core = self.core
-        progs = _batch_programs(core)
+        progs = _batch_programs(core, spec, normalize=self.stg.normalize)
         self._vfactorize = progs["factorize"]
         self._vg = progs["g"]
         self._vfresh = progs["fresh"]
@@ -412,24 +429,32 @@ class BatchedSCS:
             sizes.append(t)
             t //= 2
 
-        def worker(size, delay):
+        # capture abstract shapes EAGERLY: the workers run delayed, and
+        # solve() nulls self._states on completion — a late worker would
+        # otherwise crash silently and the (core, B) would stay marked
+        # warmed without having compiled anything (code-review r4)
+        shape_args = []
+        for size in sizes:
+            shape_args.append(
+                (size, shapes_of(self._states, size), shapes_of(self.mats, size))
+            )
+
+        def worker(size, st, mt, delay):
             try:
                 # stagger: let the FOREGROUND first-segment compile enter
                 # the (possibly FIFO) compile service queue before the
                 # ladder requests, and spread the ladder requests so the
                 # most-imminent size goes first
                 time.sleep(delay)
-                st = shapes_of(self._states, size)
-                mt = shapes_of(self.mats, size)
                 s_eff = max(seg, 8) if size <= self._MIN_BUCKET else seg
                 self._vrun_seg.lower(st, mt, max_iters, s_eff).compile()
                 self._vfinalize.lower(st, mt).compile()
             except Exception:
                 pass
 
-        for i, size in enumerate(sizes):
+        for i, (size, st, mt) in enumerate(shape_args):
             threading.Thread(
-                target=worker, args=(size, 3.0 + 2.0 * i), daemon=True
+                target=worker, args=(size, st, mt, 3.0 + 2.0 * i), daemon=True
             ).start()
 
     def phase_times(self):

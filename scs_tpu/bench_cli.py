@@ -115,6 +115,26 @@ def gen_batch_device(B, m, n, seed=1234):
     return out
 
 
+def _bench_extra_settings():
+    """BENCH_* env overrides, applied identically to EVERY BatchedSCS the
+    bench constructs (cold, steady-state, and amortized passes measure
+    the same configuration — code-review r4 finding)."""
+    extra = {}
+    if os.environ.get("BENCH_COMPACT_INTERVAL"):
+        extra["batch_compact_interval"] = int(
+            os.environ["BENCH_COMPACT_INTERVAL"]
+        )
+    if os.environ.get("BENCH_CHECK_INTERVAL"):
+        extra["check_interval"] = int(os.environ["BENCH_CHECK_INTERVAL"])
+    if os.environ.get("BENCH_AA_LOOKBACK"):
+        extra["acceleration_lookback"] = int(os.environ["BENCH_AA_LOOKBACK"])
+    if os.environ.get("BENCH_AA_INTERVAL"):
+        extra["acceleration_interval"] = int(os.environ["BENCH_AA_INTERVAL"])
+    if os.environ.get("BENCH_SCALE"):
+        extra["scale"] = float(os.environ["BENCH_SCALE"])
+    return extra
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the driver re-runs this bench in
     a fresh process every round; without the cache each run pays the full
@@ -221,10 +241,10 @@ def _hi_acc_submetric(B=32, m=1500, n=1000):
     the device."""
     from scs_tpu.batch import solve_batch
 
-    t0 = time.perf_counter()
     A, P, b, c, p_star = gen_batch(
         B, m, n, seed=4321, dtype=np.float64, return_opt=True
     )
+    t0 = time.perf_counter()  # generation excluded, like the main bench
     res = solve_batch(
         {"A": A.astype(np.float32), "P": P.astype(np.float32),
          "b": b, "c": c},
@@ -309,25 +329,7 @@ def bench_batched_qp():
                 Ai, Pi, bi, ci = gen_batch_device(bsz, m, n, seed=1234 + i)
                 gen_time += time.perf_counter() - t_g
                 data = {"A": Ai, "P": Pi, "b": bi, "c": ci}
-            extra = {}
-            if os.environ.get("BENCH_COMPACT_INTERVAL"):
-                extra["batch_compact_interval"] = int(
-                    os.environ["BENCH_COMPACT_INTERVAL"]
-                )
-            if os.environ.get("BENCH_CHECK_INTERVAL"):
-                extra["check_interval"] = int(
-                    os.environ["BENCH_CHECK_INTERVAL"]
-                )
-            if os.environ.get("BENCH_AA_LOOKBACK"):
-                extra["acceleration_lookback"] = int(
-                    os.environ["BENCH_AA_LOOKBACK"]
-                )
-            if os.environ.get("BENCH_AA_INTERVAL"):
-                extra["acceleration_interval"] = int(
-                    os.environ["BENCH_AA_INTERVAL"]
-                )
-            if os.environ.get("BENCH_SCALE"):
-                extra["scale"] = float(os.environ["BENCH_SCALE"])
+            extra = _bench_extra_settings()
             solvers.append(
                 BatchedSCS(
                     data,
@@ -472,6 +474,7 @@ def bench_batched_qp():
             eps_rel=eps,
             max_iters=20000,
             verbose=False,
+            **_bench_extra_settings(),
         )
         rs = s.solve()
         amort_secs += time.perf_counter() - t0

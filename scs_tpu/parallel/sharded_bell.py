@@ -80,10 +80,10 @@ class ShardedBellCore(Core):
             _hp(smap(self._chunk, in_specs=(P(), mats_spec), out_specs=P()))
         )
 
-        @partial(jax.jit, static_argnums=(2,))
-        def jit_multi(state, mats, seg):
+        @partial(jax.jit, static_argnums=(2, 3))
+        def jit_multi(state, mats, seg, max_iters):
             fn = smap(
-                lambda s, mt: self._multi_chunk(s, mt, seg),
+                lambda s, mt: self._multi_chunk(s, mt, seg, max_iters),
                 in_specs=(P(), mats_spec),
                 out_specs=P(),
             )

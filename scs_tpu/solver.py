@@ -288,7 +288,7 @@ class Core:
         self._jit_init_from_factor = jax.jit(_hp(self._init_from_factor))
         self._jit_chunk = jax.jit(_hp(self._chunk))
         self._jit_multi_chunk = jax.jit(
-            _hp(self._multi_chunk), static_argnums=(2,)
+            _hp(self._multi_chunk), static_argnums=(2, 3)
         )
         self._jit_finalize = jax.jit(_hp(self._finalize))
         self._jit_final_scalars = jax.jit(self._final_scalars)
@@ -1380,20 +1380,26 @@ class Core:
             state = lax.fori_loop(0, k, body, state)
         return self._check(state, mats)
 
-    def _multi_chunk(self, state: State, mats: Mats, seg: int):
+    def _multi_chunk(self, state: State, mats: Mats, seg: int, max_iters: int):
         """Run up to `seg` chunks entirely ON DEVICE, exiting early once
         the solve terminates. On a tunneled TPU every host probe is a
         full network round-trip with high jitter (measured 25 ms-1 s);
         batching `seg` chunks per poll takes the host off the critical
         path without running extra iterations — the device still checks
-        termination every check_interval iterations."""
+        termination every check_interval iterations.
+
+        max_iters is a STATIC ARGUMENT, not read from self.stg: Cores
+        are LRU-cached by a key that excludes max_iters (it is a loop
+        bound, not a program property), so baking stg.max_iters into
+        the compiled cond would freeze the FIRST instance's cap into
+        every later same-shape instance (code-review r4 finding)."""
 
         def cond(carry):
             s, k = carry
             return (
                 (k < seg)
                 & (s.status == UNFINISHED)
-                & (s.it < self.stg.max_iters)
+                & (s.it < max_iters)
             )
 
         def body(carry):

@@ -733,7 +733,9 @@ def test_indeterminate_end_to_end():
     # silent solves batch chunks via _jit_multi_chunk (host-poll
     # batching); route it through the sabotaged single-chunk path too
     orig_multi = core._jit_multi_chunk
-    core._jit_multi_chunk = lambda state, mats, seg: sabotage(state, mats)
+    core._jit_multi_chunk = (
+        lambda state, mats, seg, max_iters: sabotage(state, mats)
+    )
     try:
         sol = solver.solve(warm_start=False)
     finally:
