@@ -613,6 +613,125 @@ class BatchedSCS:
             )
             results[pos] = {"x": xi, "y": yi, "s": si, "info": info}
 
+    def polish(self, results, sub_batch=32, eps_reg=1e-6, refine=3):
+        """Active-set polish of solved results (zero + nonneg cones,
+        direct strategy): one masked-KKT solve with compensated
+        refinement per problem, reaching ~f32-ulp KKT residuals without
+        iterating the DR tail below the f32 floor (polish.py rationale;
+        a capability the reference lacks). Results whose polished point
+        fails verification (multiplier/slack sign conditions or residual
+        regression) keep their unpolished values.
+
+        Runs in NORMALIZED space against the retained equilibrated
+        operator (the original A/P were donated at construction), then
+        un-normalizes; sub-batched because the Schur transients are
+        (sub, m, m). Returns (results, polished_mask)."""
+        from . import polish as polish_mod
+
+        spec = self.spec
+        if (
+            spec.dim != spec.z + spec.l
+            or self.core.indirect
+            or self._dtype != jnp.float32
+        ):
+            return results, np.zeros(self.B, bool)
+
+        zero_mask = jnp.asarray(spec.zero_row_mask())
+        mats = self.mats
+        D = np.asarray(mats.D, np.float64)
+        E = np.asarray(mats.E, np.float64)
+        sc_b = np.asarray(mats.sc_b, np.float64)
+        sc_c = np.asarray(mats.sc_c, np.float64)
+
+        polished = np.zeros(self.B, bool)
+        for lo in range(0, self.B, sub_batch):
+            hi = min(lo + sub_batch, self.B)
+            idxs = [
+                i for i in range(lo, hi)
+                if results[i] is not None
+                and results[i]["info"]["status"]
+                in ("solved", "solved_inaccurate")
+            ]
+            if not idxs:
+                continue
+            sl = np.asarray(idxs)
+            # active mask from the ORIGINAL-unit complementarity test
+            # (y_i > s_i picks the binding constraint; row scalings would
+            # bias this comparison in normalized space)
+            zmask_np = np.asarray(spec.zero_row_mask())
+            d_np = np.stack(
+                [
+                    zmask_np
+                    | (
+                        np.asarray(results[i]["y"])
+                        > np.asarray(results[i]["s"])
+                    )
+                    for i in sl
+                ]
+            ).astype(np.float32)
+            gather = jnp.asarray(sl)
+            A_s = mats.A[gather]
+            P_s = mats.P[gather] if self.has_P else jnp.zeros(
+                (len(sl), 0, 0), self._dtype
+            )
+            b_s = mats.bn[gather]
+            c_s = mats.cn[gather]
+            xh, yh, sh, ok = polish_mod.polish_batch(
+                A_s, P_s, b_s, c_s,
+                jnp.asarray(d_np, self._dtype),
+                zero_mask, eps_reg=eps_reg, refine=refine,
+            )
+            rp, rd, gap = polish_mod.kkt_errors(
+                A_s, P_s, b_s, c_s, xh, yh, sh
+            )
+            xh = np.asarray(xh, np.float64)
+            yh = np.asarray(yh, np.float64)
+            sh = np.asarray(sh, np.float64)
+            ok = np.asarray(ok)
+            rp, rd, gap = (
+                np.asarray(rp, np.float64),
+                np.asarray(rd, np.float64),
+                np.asarray(gap, np.float64),
+            )
+            for k, i in enumerate(sl):
+                if not ok[k]:
+                    continue
+                info = results[i]["info"]
+                # original-unit residual norms (cf. Core._residuals
+                # scaling): rp_orig = Dinv * rp_hat / sc_b, etc. — bound
+                # the norm by the max row scale
+                rp_orig = rp[k] * np.max(1.0 / D[i]) / sc_b[i]
+                rd_orig = rd[k] * np.max(1.0 / E[i]) / sc_c[i]
+                gap_orig = gap[k] / (sc_b[i] * sc_c[i])
+                if rp_orig > max(info["res_pri"], 1e-9) or rd_orig > max(
+                    info["res_dual"], 1e-9
+                ):
+                    continue  # polish did not improve: keep original
+                results[i]["x"] = E[i] * xh[k] / sc_b[i]
+                results[i]["y"] = D[i] * yh[k] / sc_c[i]
+                results[i]["s"] = sh[k] / (D[i] * sc_b[i])
+                x_o, y_o, s_o = (
+                    results[i]["x"], results[i]["y"], results[i]["s"],
+                )
+                info["res_pri"] = float(rp_orig)
+                info["res_dual"] = float(rd_orig)
+                info["comp_slack"] = float(abs(np.dot(s_o, y_o)))
+                # objective of the polished point, in original units:
+                # pobj = (0.5 x_hat'P_hat x_hat + c_hat'x_hat)/(sc_b sc_c)
+                ch = np.asarray(c_s[k], np.float64)
+                quad = 0.0
+                if self.has_P:
+                    Ph = np.asarray(P_s[k], np.float64)
+                    quad = 0.5 * xh[k] @ (Ph @ xh[k])
+                info["pobj"] = float(
+                    (quad + ch @ xh[k]) / (sc_b[i] * sc_c[i])
+                )
+                info["dobj"] = info["pobj"] - info["comp_slack"]
+                info["status"] = "solved"
+                info["status_val"] = info_mod.SOLVED
+                polished[i] = True
+        return results, polished
+
     def solve(self):
         """Solve the batch. With compaction enabled (default), finished
         problems are retired at segment boundaries and the survivors are
