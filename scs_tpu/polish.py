@@ -82,7 +82,13 @@ def _polish_one(A, P, b, c, d, eps_reg, refine, zero_mask):
             x = p_solve(r1 - A.T @ (d * lam))
             return x, lam
 
-        x, lam = kkt_solve(-c, -(d * b))
+        # initial solve: lam = M^-1(D A Pt^-1(-c) - D b), i.e. the
+        # lam-row residual convention is r2 = D b (kkt_solve computes
+        # d*t - r2 with t = A Pt^-1 r1) — matching the refinement calls,
+        # which pass -r2 = d*(b - Ax). (ADVICE r4: the sign-flipped
+        # -(d*b) solved D A x = -D b and burned a refinement pass
+        # correcting a self-inflicted O(1) error.)
+        x, lam = kkt_solve(-c, d * b)
 
         # refinement against the TRUE KKT (P, not Pt; exact mask), with
         # compensated residuals so the correction targets ~1-ulp
