@@ -249,6 +249,21 @@ def _batch_programs(core, spec, normalize):
     def fresh_one(L, gx, gy):
         return core._fresh_state(L, gx, gy, jnp.asarray(scale0, dtype))
 
+    def compact(states, mats, idx):
+        """Retirement compaction as ONE fused program: gather the
+        surviving rows of every state/mats leaf in a single dispatch.
+        A bare jax.tree.map(lambda a: a[idx], ...) on the host issues
+        one jit-gather dispatch PER LEAF (~54 leaves), and on a
+        tunneled TPU every dispatch is a full round-trip plus a
+        per-leaf executable load — measured ~10-12 s per compaction,
+        ~2/3 of the whole cold first solve (r5 timeline attribution).
+        No donation: the first compaction's inputs alias self.mats
+        (and retired-pack finalizes may still be in flight), so the
+        originals must stay valid; the host drops the old states
+        reference right after, freeing them anyway."""
+        g = lambda a: a[idx]
+        return jax.tree.map(g, states), jax.tree.map(g, mats)
+
     progs = {
         "prep_P": jax.jit(_hp(jax.vmap(prep_one)), donate_argnums=(0, 1)),
         "prep_noP": jax.jit(
@@ -261,6 +276,7 @@ def _batch_programs(core, spec, normalize):
         "run_seg": jax.jit(_hp(run_seg), static_argnums=(2, 3)),
         "rescale": jax.jit(_hp(jax.vmap(core.rescale_step))),
         "finalize": jax.jit(_hp(jax.vmap(finalize_pack))),
+        "compact": jax.jit(compact),
     }
     cache[key] = progs
     return progs
@@ -370,6 +386,7 @@ class BatchedSCS:
         self._vrun_seg = progs["run_seg"]
         self._vrescale = progs["rescale"]
         self._vfinalize = progs["finalize"]
+        self._vcompact = progs["compact"]
 
         # donate (A, P): the equilibrated copies alias the inputs instead
         # of doubling the live set — the difference between fitting B=512
@@ -939,9 +956,9 @@ class BatchedSCS:
                     active = np.where(~done)[0]
                     pad = np.full(target - n_act, active[0], dtype=np.int64)
                     idx = np.concatenate([active, pad])
-                    idxd = jnp.asarray(idx)
-                    states = jax.tree.map(lambda a: a[idxd], states)
-                    mats = jax.tree.map(lambda a: a[idxd], mats)
+                    states, mats = self._vcompact(
+                        states, mats, jnp.asarray(idx, jnp.int32)
+                    )
                     positions = positions[idx]
         except KeyboardInterrupt:
             interrupted = True

@@ -362,6 +362,66 @@ def pack_bell_sharded(A_csc, n_dev, block_size=128, dtype=jnp.float32):
     return A_blocks, A_cols, At_blocks, At_cols, colsq_all
 
 
+def pack_bell_sym_sharded(P_csc, n_dev, block_size=128, dtype=jnp.float32):
+    """Per-device block-ELL packs of the symmetric quadratic-cost matrix
+    P for a ROW-sharded operator (VERDICT r4 item 7): device d holds the
+    pack of its contiguous row slice P_d of the row-zero-padded P, so
+
+        P @ x = all_gather_d(P_d @ x)[:n]        (x replicated)
+
+    — the same communication pattern as the sharded A @ x (one tiled
+    all-gather riding the ICI ring; symmetry means no second pack or
+    psum is needed for the transpose orientation). Rows are zero-padded
+    to a multiple of n_dev*block_size (padding rows are all-zero tiles —
+    the gathered result is sliced back to n by the caller).
+
+    Returns a solver.PBell with leading n_dev axes on blocks/cols
+    ((n_dev, nbr_loc, w, bs, bs), (n_dev, nbr_loc, w)) and a replicated
+    (n,) diag.
+    """
+    from scipy import sparse as sp  # noqa: PLC0415
+
+    from ..solver import PBell  # noqa: PLC0415
+
+    P_csc = sp.csc_matrix(P_csc)
+    n = P_csc.shape[0]
+    pad = (-n) % (n_dev * block_size)
+    if pad:
+        P_csc = sp.vstack(
+            [P_csc.tocsr(), sp.csr_matrix((pad, n))]
+        ).tocsc()
+    n_rows = n + pad
+    n_loc = n_rows // n_dev
+    P_csr = P_csc.tocsr()
+    packs = [
+        pack_bell(
+            P_csr[d * n_loc : (d + 1) * n_loc].tocsc(), block_size, dtype
+        )
+        for d in range(n_dev)
+    ]
+
+    w = max(p.A_blocks.shape[1] for p in packs)
+    outs_b, outs_c = [], []
+    for p in packs:
+        b_, c_ = np.asarray(p.A_blocks), np.asarray(p.A_cols)
+        padw = w - b_.shape[1]
+        if padw:
+            b_ = np.concatenate(
+                [b_, np.zeros((b_.shape[0], padw) + b_.shape[2:], b_.dtype)],
+                axis=1,
+            )
+            c_ = np.concatenate(
+                [c_, np.zeros((c_.shape[0], padw), np.int32)], axis=1
+            )
+        outs_b.append(b_)
+        outs_c.append(c_)
+    return PBell(
+        blocks=jnp.asarray(np.stack(outs_b), dtype),
+        cols=jnp.asarray(np.stack(outs_c), jnp.int32),
+        diag=jnp.asarray(P_csc.diagonal()[:n], dtype),
+    )
+
+
 def _pack_bell_numpy(A_csc, bs):
     """Pure-numpy block-ELL packer (fallback when g++ is unavailable)."""
     m, n = A_csc.shape

@@ -67,11 +67,6 @@ class ShardedSCS(SCS):
             )
         self._bell_mode = strategy == "bell"
         if self._bell_mode:
-            if data.get("P") is not None:
-                raise ValueError(
-                    "quadratic cost P is not supported on the sharded "
-                    "bell path yet"
-                )
             if settings.get("phase_timing") == "always":
                 raise ValueError(
                     "phase_timing='always' is not supported on the "
@@ -141,8 +136,8 @@ class ShardedSCS(SCS):
         return super()._make_core(m, n, has_P, spec_hat)
 
     def _build_bell(self, Ah_sp, Ph_sp, spec_hat, dtype):
-        from ..ops.sparse import pack_bell_sharded
-        from ..solver import BellData
+        from ..ops.sparse import pack_bell_sharded, pack_bell_sym_sharded
+        from ..solver import BellData, PBell
 
         import jax.numpy as jnp
 
@@ -163,7 +158,17 @@ class ShardedSCS(SCS):
             colsq_all=jax.device_put(colsq_all, rep),
             colsq_zero=jax.device_put(jnp.asarray(colsq_zero, dtype), rep),
         )
-        return bell, None
+        pbell = None
+        if Ph_sp is not None:
+            # row-sharded symmetric pack of P (VERDICT r4 item 7): local
+            # P_d @ x rows all-gather like A @ x (see ShardedBellCore._Px)
+            pb = pack_bell_sym_sharded(Ph_sp, self._n_dev, bs, dtype)
+            pbell = PBell(
+                blocks=jax.device_put(pb.blocks, shard),
+                cols=jax.device_put(pb.cols, shard),
+                diag=jax.device_put(pb.diag, rep),
+            )
+        return bell, pbell
 
     def _update_locked(self, b=None, c=None):
         if b is not None and self._row_pad:

@@ -28,13 +28,14 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..solver import BellData, Core, Mats, _hp
+from ..solver import BellData, Core, Mats, PBell, _hp
 
 
 class ShardedBellCore(Core):
     """Core whose compiled programs run under shard_map with the bell
-    pack row-sharded across a 1-D mesh. P (quadratic cost) is not
-    supported on this path yet — ShardedSCS rejects it up front."""
+    pack row-sharded across a 1-D mesh. A quadratic cost P rides its own
+    row-sharded symmetric pack (ops.sparse.pack_bell_sym_sharded): the
+    local P_d @ x rows are all-gathered exactly like A @ x."""
 
     def __init__(self, m, n, has_P, spec, stg, mesh, axis_name):
         self.mesh = mesh
@@ -49,10 +50,15 @@ class ShardedBellCore(Core):
             colsq_all=P(),
             colsq_zero=P(),
         )
+        pbell_spec = (
+            PBell(blocks=P(axis_name), cols=P(axis_name), diag=P())
+            if has_P
+            else None
+        )
         mats_spec = Mats(
             A=P(), P=P(), bn=P(), cn=P(), bl=P(), bu=P(), D=P(), E=P(),
             sc_b=P(), sc_c=P(), norm_b=P(), norm_c=P(),
-            bell=bell_spec, pbell=None,
+            bell=bell_spec, pbell=pbell_spec,
         )
         self._mats_spec = mats_spec
         # check_vma=False: outputs ARE replicated (every device runs the
@@ -139,7 +145,19 @@ class ShardedBellCore(Core):
         t = f(blocks, cols, y_loc)[: self.n]
         return lax.psum(t, self.axis)
 
-    def _Px(self, mats: Mats, x):  # pragma: no cover - guarded upstream
-        raise NotImplementedError(
-            "quadratic cost P is not supported on the sharded bell path"
-        )
+    def _Px(self, mats: Mats, x):
+        """P @ x with P row-sharded (pack_bell_sym_sharded): local SpMV
+        of this device's row slice of the symmetric pack, then a tiled
+        all-gather over the rows axis — identical communication to _Ax
+        (symmetry makes the transpose orientation unnecessary)."""
+        from ..ops.sparse import bell_spmv, bell_spmv_ref  # noqa: PLC0415
+
+        pb = mats.pbell
+        blocks = self._local_pack(pb.blocks)  # (nbr_loc, w, bs, bs)
+        cols = self._local_pack(pb.cols)
+        bs = blocks.shape[-1]
+        n_pad_cols = -(-self.n // bs) * bs  # packer's column padding
+        x_pad = jnp.zeros(n_pad_cols, x.dtype).at[: self.n].set(x)
+        f = bell_spmv if self._pallas_ok() else bell_spmv_ref
+        y_loc = f(blocks, cols, x_pad)  # (n_loc,) local rows of P @ x
+        return lax.all_gather(y_loc, self.axis, tiled=True)[: self.n]

@@ -168,6 +168,45 @@ def test_batched_interrupt_keeps_partial_results():
     assert all(np.isfinite(r["x"]).all() for r in res)
 
 
+def test_compaction_ladder_correctness():
+    """B=64 batch with heterogeneous convergence speeds: the retirement/
+    compaction ladder (including the fused single-dispatch gather,
+    r5 compile-wall fix) must retire early finishers and still return
+    correct solutions for every problem at its ORIGINAL position.
+
+    Uses the l+q mix (density 0.5): tiny pure-LP instances at density
+    0.8 are occasionally so degenerate that even the single-problem
+    solver exhausts max_iters — an intrinsic DR property of
+    near-degenerate random LPs (see the family study in
+    __graft_entry__.py), not a batching artifact."""
+    B = 64
+    Kq = {"l": 10, "q": [4]}
+    rng = np.random.RandomState(77)
+    As, bs, cs, stars = [], [], [], []
+    for i in range(B):
+        data, p_star, _ = oracle.gen_feasible(Kq, n=n, density=0.5, rng=rng)
+        As.append(np.asarray(data["A"].todense()))
+        bs.append(data["b"])
+        cs.append(data["c"])
+        stars.append(p_star)
+    A, b, c = np.stack(As), np.stack(bs), np.stack(cs)
+    solver = BatchedSCS(
+        {"A": A.copy(), "b": b, "c": c}, Kq,
+        eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+        check_interval=10, batch_compact_interval=1,
+    )
+    assert bool(solver.stg.batch_compaction)
+    res = solver.solve()
+    assert len(res) == B
+    for i in range(B):
+        assert res[i]["info"]["status"] == "solved", (
+            i, res[i]["info"]["status"]
+        )
+        np.testing.assert_allclose(
+            c[i] @ res[i]["x"], stars[i], rtol=1e-3, atol=1e-3
+        )
+
+
 def test_polish_honest_dual_objective():
     """Polished info must report the TRUE dual objective of the polished
     point (dobj = -0.5 x'Px - b'y) and gap = |pobj - dobj| — not the
