@@ -318,15 +318,21 @@ class BatchedSCS:
         # S/chol/S^-1 transients would otherwise live in its memory plan).
         settings.setdefault("rescale_in_chunk", False)
         # refinement doubles per-iteration A traffic; the batched flagship
-        # workload converges at eps=1e-4 without it. Tight tolerances get
-        # the auto policy (-1): high-accuracy mode needs 2 compensated
-        # refinement passes or the solve error floors above eps.
+        # workload (zero/nonneg/box cones, i.e. clamp projections) converges
+        # at eps=1e-4 without it. Tight tolerances get the auto policy
+        # (-1): high-accuracy mode needs 2 compensated refinement passes or
+        # the solve error floors above eps. Mixed-cone batches (SOC/PSD/
+        # exp/power/spectral) also get auto: without the f32 refinement
+        # pass their DR residual floors ABOVE 1e-4 and the batch runs to
+        # max_iters (measured on the reference mixed-cone K, r5).
         _eps_min = min(
             float(settings.get("eps_abs", 1e-4)),
             float(settings.get("eps_rel", 1e-4)),
         )
+        _simple_cones = ConeSpec.from_dict(cone).is_simple
         settings.setdefault(
-            "lin_refine_steps", -1 if _eps_min < 3e-5 else 0
+            "lin_refine_steps",
+            -1 if (_eps_min < 3e-5 or not _simple_cones) else 0,
         )
         # on-chip tuned defaults (B=512 flagship sweep): 50-iteration
         # chunks halve the residual-check overhead, with retirement at

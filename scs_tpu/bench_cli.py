@@ -315,6 +315,99 @@ def _hi_acc_submetric(B=32, m=1500, n=1000):
     }
 
 
+def _mixed_cone_submetric(B=64, eps=1e-4, seed=3000):
+    """The reference's flagship mixed-cone K solved ON THE CHIP (VERDICT
+    r5 item 2): z + l + SOC + PSD (incl. a 10-dim block) + exp + dual-exp
+    + power/dual-power cones, B problems batched. First hardware exercise
+    of batched eigh and the exp/power Newton loops.
+
+    Problems are planted-optimum feasible instances from the independent
+    test oracle (tests/oracle.py, the analogue of the reference's
+    gen_random_cone_prob.py), with c normalized to unit length so the
+    reference's 3-decimal objective check
+    (test_solve_random_cone_prob.py:47-56, assert_almost_equal decimal=3)
+    is meaningful at f32: scaling c by 1/||c|| scales (y, p*) linearly
+    and leaves the cone geometry and optimal x unchanged.
+    """
+    import time as _time
+
+    # the oracle lives in tests/ (kept OUTSIDE the package so it stays an
+    # independent spec); the driver runs bench.py from the repo root
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests_dir = os.path.join(root, "tests")
+    if tests_dir not in sys.path:
+        sys.path.append(tests_dir)
+    import oracle
+
+    from .batch import BatchedSCS
+
+    K = {
+        "z": 10,
+        "l": 15,
+        "q": [5, 10, 0, 1],
+        "s": [3, 4, 0, 0, 1, 10],
+        "ep": 10,
+        "ed": 10,
+        "p": [-0.25, 0.5, 0.75, -0.33],
+    }
+    m = oracle.cone_dims(K)
+    n = m // 3
+    rng = np.random.RandomState(seed)
+    As, bs, cs, stars = [], [], [], []
+    for _ in range(B):
+        data, p_star, _sol = oracle.gen_feasible(K, n=n, density=0.1, rng=rng)
+        k = np.linalg.norm(data["c"])
+        As.append(np.asarray(data["A"].todense()))
+        bs.append(data["b"])
+        cs.append(data["c"] / k)
+        stars.append(p_star / k)
+    d = {"A": np.stack(As), "b": np.stack(bs), "c": np.stack(cs)}
+    p_star = np.array(stars)
+
+    t0 = _time.perf_counter()
+    solver = BatchedSCS(
+        d, K, dtype="float32", eps_abs=eps, eps_rel=eps,
+        max_iters=20000, verbose=False, scale=1.0,
+    )
+    setup = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    res = solver.solve()
+    elapsed = _time.perf_counter() - t0
+    n_solved = sum(r["info"]["status"] == "solved" for r in res)
+    objs = np.array([r["info"]["pobj"] for r in res])
+    err = np.abs(objs - p_star)
+    iters = np.array([r["info"]["iter"] for r in res])
+    # measured per-call phase split at the initial batch shape -> seconds
+    # attribution over the mean iteration count (same model as the main
+    # bench; reference scsobject.h:1088-1092 lin_sys/cone/accel timers)
+    pt = solver.phase_times()
+    it_mean = float(iters.mean())
+    aa_trials = it_mean / max(solver.stg.acceleration_interval, 1)
+    w_lin = pt["lin_sys"] * it_mean
+    w_cone = pt["cone"] * it_mean
+    w_accel = pt["accel_trial"] * aa_trials
+    w_tot = max(w_lin + w_cone + w_accel, 1e-12)
+    return {
+        "metric": f"mixed_cone_K_b{B}_f32_eps{eps:g}",
+        "cone": {k: v for k, v in K.items()},
+        "status": "solved" if n_solved == B else "partial",
+        "n_solved": int(n_solved),
+        "batch": B,
+        "m": int(m),
+        "n": int(n),
+        "solve_secs": round(elapsed, 3),
+        "setup_secs": round(setup, 3),
+        "mean_iters": round(it_mean, 1),
+        "max_iters_seen": int(iters.max()),
+        "max_obj_err_vs_planted": float(err.max()),
+        "obj_3_decimal_parity": bool((err < 1.5e-3).all()),
+        "cone_secs": round(elapsed * w_cone / w_tot, 3),
+        "lin_sys_secs": round(elapsed * w_lin / w_tot, 3),
+        "accel_secs": round(elapsed * w_accel / w_tot, 3),
+        "cone_phase_frac": round(w_cone / w_tot, 3),
+    }
+
+
 def bench_batched_qp():
     import jax
 
@@ -537,6 +630,14 @@ def bench_batched_qp():
         except Exception as exc:  # noqa: BLE001
             hi_acc = {"status": f"error: {exc}"}
 
+    # --- mixed-cone K on the chip (skippable) ----------------------------
+    mixed_cone = None
+    if os.environ.get("BENCH_SKIP_MIXED") != "1":
+        try:
+            mixed_cone = _mixed_cone_submetric()
+        except Exception as exc:  # noqa: BLE001
+            mixed_cone = {"status": f"error: {exc}"}
+
     out = {
         "metric": f"qp_n{n}_m{m}_b{B}_{dtype}_eps{eps:g}_amortized_throughput",
         "value": round(amortized_pps, 3),
@@ -580,6 +681,7 @@ def bench_batched_qp():
         "lockstep_efficiency": round(lockstep_eff, 3),
         "bell": bell,
         "hi_acc": hi_acc,
+        "mixed_cone": mixed_cone,
     }
     print(json.dumps(out))
     print(
@@ -605,6 +707,16 @@ def bench_batched_qp():
             f"obj vs f64 to {hi_acc.get('obj_decimals', '?')} decimals "
             f"(max err {hi_acc.get('max_obj_err_vs_f64', float('nan')):.2e})"
             if hi_acc
+            else ""
+        )
+        + (
+            f"\n# mixed-cone K (SOC+PSD+exp+pow): {mixed_cone['status']} "
+            f"{mixed_cone.get('n_solved', '?')}/{mixed_cone.get('batch', '?')}"
+            f", {mixed_cone.get('solve_secs', '?')}s solve, cone phase "
+            f"{mixed_cone.get('cone_secs', '?')}s "
+            f"({mixed_cone.get('cone_phase_frac', '?')}), 3-decimal parity "
+            f"{mixed_cone.get('obj_3_decimal_parity', '?')}"
+            if mixed_cone
             else ""
         ),
         file=sys.stderr,

@@ -113,6 +113,26 @@ class ConeSpec:
         return len(self.bu) + 1 if len(self.bu) > 0 else 0
 
     @property
+    def is_simple(self) -> bool:
+        """True when every cone is a clamp (zero/nonneg/box) — the regime
+        where the f32 direct solve converges without iterative refinement.
+        Curved cones (SOC/PSD/exp/power/spectral) amplify the KKT solve
+        error and need the extra refinement pass (measured r5: the
+        reference mixed-cone K runs to max_iters without it)."""
+        return not (
+            self.q
+            or self.s
+            or self.cs
+            or self.ep
+            or self.ed
+            or self.p
+            or self.d
+            or self.nuc
+            or self.ell1
+            or self.sl
+        )
+
+    @property
     def dim(self) -> int:
         """Total number of cone rows (must equal m)."""
         return (

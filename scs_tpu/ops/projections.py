@@ -34,6 +34,20 @@ from jax import lax
 
 from ..cones import ConeSpec, sd_cone_size
 
+
+def _tiny(x):
+    """Smallest normal positive value of x's dtype. Guards for log/division
+    must be dtype-aware: a literal 1e-300 silently underflows to 0.0 in
+    float32, turning the guard into log(0) = -inf -> NaN (the bug that made
+    every f32 mixed-cone solve FAIL until round 5)."""
+    return jnp.finfo(jnp.result_type(x)).tiny
+
+
+def _explim(x):
+    """Largest safe argument to exp() in x's dtype (~709 f64, ~87 f32)."""
+    return 0.99 * float(np.log(jnp.finfo(jnp.result_type(x)).max))
+
+
 # ---------------------------------------------------------------------------
 # Elementwise cones
 # ---------------------------------------------------------------------------
@@ -103,7 +117,7 @@ def _proj_soc_batch(z):
     nx = jnp.linalg.norm(x, axis=1)
     # three regimes: inside (nx <= t) -> identity; polar (nx <= -t) -> 0;
     # else boundary scaling.
-    coef = jnp.maximum(0.5 * (1.0 + t / jnp.maximum(nx, 1e-300)), 0.0)
+    coef = jnp.maximum(0.5 * (1.0 + t / jnp.maximum(nx, _tiny(z))), 0.0)
     new_t = jnp.where(nx <= t, t, coef * nx)
     scale_x = jnp.where(nx <= t, 1.0, coef)
     out = jnp.concatenate([new_t[:, None], scale_x[:, None] * x], axis=1)
@@ -227,38 +241,47 @@ def _proj_csd_batch(z, n):
 # ---------------------------------------------------------------------------
 
 
-def _exp_newton_onz(rho, y_hat, z_hat, w, n_iters=20):
-    """Inner 1-D Newton (oracle newton_exp_onz), vectorized over cones."""
+def _exp_newton_onz(rho, y_hat, z_hat, w, n_iters=40):
+    """Inner 1-D Newton (oracle newton_exp_onz), vectorized over cones.
+
+    f32-robust formulation: f and fp are multiplied through by rho^2 (the
+    Newton step f/fp is invariant), so no term needs 1/rho^2 — which
+    overflows f32 once the outer bisection drives rho below ~1e-19 — and
+    log(t) - log(rho) replaces log(t/rho), whose quotient can overflow
+    first. An overshoot past the t > 0 domain boundary HALVES t (oracle
+    inner_z semantics); the old clamp-to-1e-300 parked the iterate on a
+    denormal (or exactly 0.0 in f32) where log() is -inf and the whole
+    projection went NaN."""
     t = jnp.maximum(jnp.maximum(w - z_hat, -z_hat), 1e-6)
 
     def body(_, t):
-        tz = t + z_hat
-        f = (1.0 / rho**2) * t * tz - y_hat / rho + jnp.log(t / rho) + 1.0
-        fp = (1.0 / rho**2) * (2.0 * t + z_hat) + 1.0 / t
+        r2 = rho * rho
+        f = t * (t + z_hat) - rho * y_hat + r2 * (
+            jnp.log(t) - jnp.log(rho) + 1.0
+        )
+        fp = 2.0 * t + z_hat + r2 / t
         t_new = t - f / fp
-        # clamp into the (0, inf) domain; oracle breaks at the boundary
-        t_new = jnp.where(t_new <= -z_hat, -z_hat, t_new)
-        t_new = jnp.maximum(t_new, 1e-300)
-        return t_new
+        return jnp.where(t_new > 0, t_new, 0.5 * t)
 
-    t = lax.fori_loop(0, n_iters, body, t)
-    return t + z_hat
+    return lax.fori_loop(0, n_iters, body, t)
 
 
 def _exp_solve_with_rho(v, rho, w):
-    x2 = _exp_newton_onz(rho, v[:, 1], v[:, 2], w)
-    x1 = (1.0 / rho) * (x2 - v[:, 2]) * x2
+    zb = _exp_newton_onz(rho, v[:, 1], v[:, 2], w)
+    x2 = zb + v[:, 2]
+    x1 = (1.0 / rho) * zb * x2
     x0 = v[:, 0] - rho
     return jnp.stack([x0, x1, x2], axis=1)
 
 
 def _exp_calc_grad(v, rho, warm):
     x = _exp_solve_with_rho(v, rho, warm)
-    safe = jnp.maximum(x[:, 1], 1e-300)
+    tiny = _tiny(x)
+    safe = jnp.maximum(x[:, 1], tiny)
     g = jnp.where(
         x[:, 1] <= 1e-12,
         x[:, 0],
-        x[:, 0] + x[:, 1] * jnp.log(safe / jnp.maximum(x[:, 2], 1e-300)),
+        x[:, 0] + x[:, 1] * jnp.log(safe / jnp.maximum(x[:, 2], tiny)),
     )
     return g, x
 
@@ -268,11 +291,13 @@ def _proj_exp_batch(v, n_doubling=30, n_bisect=64):
     r, s, t = v[:, 0], v[:, 1], v[:, 2]
 
     # Case 1: already in Kexp
-    in_cone = ((s > 0) & (t > 0) & (r <= s * jnp.log(jnp.maximum(t, 1e-300) / jnp.maximum(s, 1e-300)))) | (
+    tiny = _tiny(v)
+    in_cone = ((s > 0) & (t > 0) & (r <= s * jnp.log(jnp.maximum(t, tiny) / jnp.maximum(s, tiny)))) | (
         (r <= 0) & (s == 0) & (t >= 0)
     )
     # Case 2: -v in Kexp^* -> projection is 0
-    exp_r = jnp.exp(jnp.clip(s / jnp.where(r != 0, r, 1.0), -700, 700))
+    lim = _explim(v)
+    exp_r = jnp.exp(jnp.clip(s / jnp.where(r != 0, r, 1.0), -lim, lim))
     in_polar = ((-r < 0) & (r * exp_r <= -jnp.e * t)) | ((r == 0) & (-s >= 0) & (-t >= 0))
     # Case 3: analytical (r < 0, s < 0)
     analytic = (r < 0) & (s < 0)
@@ -293,17 +318,72 @@ def _proj_exp_batch(v, n_doubling=30, n_bisect=64):
     g0, x0 = _exp_calc_grad(v, rho0, v[:, 1])
     lb, ub, x = lax.fori_loop(0, n_doubling, db_body, (lb0, rho0, v))
 
+    # stop refining once the bracket shrinks below dtype resolution
+    # (oracle: `if ub - lb < 1e-14: break`): past that point the inner
+    # Newton's root t differs from -z_hat by less than one ulp, so
+    # x2 - v2 cancels to 0 and the recovered x is garbage — e.g. for
+    # boundary cases whose optimal rho -> 0, 64 unconditioned halvings
+    # park rho at ~7e-21 and return s = 0 instead of the true s > 0
+    bis_tol = 8.0 * float(jnp.finfo(jnp.result_type(v)).eps)
+
     def bis_body(_, carry):
         lb, ub, x = carry
+        live = (ub - lb) > bis_tol * jnp.maximum(1.0, ub)
         rho = 0.5 * (lb + ub)
         g, x_new = _exp_calc_grad(v, rho, x[:, 1])
-        lb = jnp.where(g > 0, rho, lb)
-        ub = jnp.where(g > 0, ub, rho)
-        return lb, ub, x_new
+        lb = jnp.where(live & (g > 0), rho, lb)
+        ub = jnp.where(live & (g <= 0), rho, ub)
+        x = jnp.where(live[:, None], x_new, x)
+        return lb, ub, x
 
-    _, _, x = lax.fori_loop(0, n_bisect, bis_body, (lb, ub, x))
+    lb_f, ub_f, x = lax.fori_loop(0, n_bisect, bis_body, (lb, ub, x))
+
+    # Final polish at the converged rho: recover (x1, x2) from the
+    # stationarity equation  zb*x2/rho^2 - y_hat/rho + log(zb/rho) + 1 = 0
+    # instead of the direct x2 = zb + z_hat, which loses all precision to
+    # cancellation when the root sits at zb ~= -z_hat (optimal rho near
+    # 0). Valid only where the inner Newton has converged — i.e. HERE,
+    # after the loop, not inside it (mid-bisection zb values are far from
+    # the root and the recovery explodes) — so guard on consistency.
+    rho_f = 0.5 * (lb_f + ub_f)
+    zb_f = _exp_newton_onz(rho_f, s, t, x[:, 1])
+    x1s = s - rho_f * (jnp.log(zb_f) - jnp.log(rho_f) + 1.0)
+    x2s = rho_f * x1s / zb_f
+    stable = jnp.stack([r - rho_f, x1s, x2s], axis=1)
+    # trust the recovery ONLY where the direct sum visibly cancelled (it
+    # lost nearly all its ulps): everywhere else the loop iterate is at
+    # least as accurate, and the recovery has its own complementary
+    # cancellation (x1s = s - rho*(...) loses digits when |s| >> x1),
+    # which degrades near-apex rows (s << 0, t > 0) if applied eagerly
+    x2d = zb_f + t
+    eps_dt = float(jnp.finfo(jnp.result_type(v)).eps)
+    cancel = jnp.abs(x2d) < 64.0 * eps_dt * jnp.abs(t)
+    use = (
+        jnp.isfinite(x1s)
+        & jnp.isfinite(x2s)
+        & (x1s >= 0)
+        & (x2s >= 0)
+        & (rho_f > 0)
+        & cancel
+    )
+    x = jnp.where(use[:, None], stable, x)
 
     out = x
+    # Degenerate rho -> 0 rows: g < 0 for every rho, so the bisection
+    # collapses onto lb = 0, where the inner root zb ~= -z_hat cancels
+    # x2 = zb + z_hat to 0 ulps and x is garbage (the oracle drifts here
+    # too: SLSQP cross-check shows its s off by ~1e-2). The true limit is
+    # the boundary point at s = s0:  p = (r0, s0, s0*exp(r0/s0)).
+    collapsed = (lb_f == 0) & (ub_f <= 2.0 * bis_tol)
+    s_pos = jnp.maximum(s, 0.0)
+    t_lim = s_pos * jnp.exp(
+        jnp.clip(r / jnp.maximum(s_pos, tiny), -lim, lim)
+    )
+    out = jnp.where(
+        collapsed[:, None],
+        jnp.stack([r, s_pos, jnp.maximum(t_lim, 0.0)], axis=1),
+        out,
+    )
     out = jnp.where(
         analytic[:, None],
         jnp.stack([r, jnp.zeros_like(s), jnp.maximum(t, 0.0)], axis=1),
@@ -325,7 +405,7 @@ def _proj_pow_batch(v, a, n_iters=40):
     x0, y0, z0 = v[:, 0], v[:, 1], v[:, 2]
 
     def safe_pow(base, e):
-        return jnp.exp(e * jnp.log(jnp.maximum(base, 1e-300)))
+        return jnp.exp(e * jnp.log(jnp.maximum(base, _tiny(base))))
 
     in_cone = (x0 >= 0) & (y0 >= 0) & (safe_pow(x0, a) * safe_pow(y0, 1 - a) >= jnp.abs(z0))
     in_polar = (
@@ -453,7 +533,7 @@ def _proj_sl_vec_batch(t0, w0, k_val, n_bisect=60):
     inside = sk <= t0
 
     def h(mu):
-        y = _proj_capped_simplex(w0 / jnp.maximum(mu, 1e-300)[:, None], k_val)
+        y = _proj_capped_simplex(w0 / jnp.maximum(mu, _tiny(mu))[:, None], k_val)
         w = w0 - mu[:, None] * y
         return _sum_k_largest(w, k_val) - t0 - mu, w
 
@@ -522,8 +602,8 @@ def _proj_logdet_vec_batch(t0, v0, w0, n_outer=80):
         def slog_of(vv):
             w = 0.5 * (w0 + jnp.sqrt(w0 * w0 + 4.0 * mu[:, None] * vv[:, None]))
             return (
-                jnp.sum(jnp.log(jnp.maximum(w, 1e-300)), axis=1)
-                - fn * jnp.log(jnp.maximum(vv, 1e-300)),
+                jnp.sum(jnp.log(jnp.maximum(w, _tiny(w))), axis=1)
+                - fn * jnp.log(jnp.maximum(vv, _tiny(vv))),
                 w,
             )
 
@@ -604,8 +684,8 @@ def _proj_logdet_vec_batch(t0, v0, w0, n_outer=80):
     # candidate A: already inside (closure-aware test)
     w_pos = jnp.all(w0 >= 0, axis=1)
     slog0 = jnp.sum(
-        jnp.log(jnp.maximum(w0, 1e-300)), axis=1
-    ) - fn * jnp.log(jnp.maximum(v0, 1e-300))
+        jnp.log(jnp.maximum(w0, _tiny(w0))), axis=1
+    ) - fn * jnp.log(jnp.maximum(v0, _tiny(v0)))
     inside = jnp.where(
         v0 > 0,
         w_pos & (t0 <= v0 * slog0),

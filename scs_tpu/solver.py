@@ -268,15 +268,18 @@ class Core:
         # Direct-path iterative refinement (auto: 1 pass for f32 — the
         # factor-solve error otherwise floors the DR residual; 0 for f64;
         # 2 compensated-residual passes in high-accuracy mode, where the
-        # solve error must reach ~1e-7 relative instead of ~cond*eps_f32).
+        # solve error must reach ~1e-7 relative instead of ~cond*eps_f32.
+        # Curved-cone problems get 2 passes in f32 as well: with 1 the
+        # reference mixed-cone K intermittently stalls at res ~ 2e-2 on
+        # TPU, with 2 every instance converges in O(1000) iters, r5).
         if stg.lin_refine_steps >= 0:
             self.refine_steps = int(stg.lin_refine_steps)
         elif self.hi_acc and not self.indirect:
             self.refine_steps = 2
+        elif self.dtype == jnp.float32 and not self.indirect:
+            self.refine_steps = 1 if spec.is_simple else 2
         else:
-            self.refine_steps = (
-                1 if (self.dtype == jnp.float32 and not self.indirect) else 0
-            )
+            self.refine_steps = 0
         # Primal cone projector (structure-cached); the y block uses the
         # dual cone via Moreau. Box bounds enter dynamically (normalized).
         self._proj = get_projector(spec, self.dtype)
