@@ -764,8 +764,18 @@ class BatchedSCS:
                 jnp.asarray(d_np, self._dtype),
                 zero_mask, eps_reg=eps_reg, refine=refine,
             )
+            # EXACT original-unit residual norms of the hat-space point:
+            # weight each hat residual row by its inverse equilibration
+            # (rp_orig = Dinv rp_hat / sc_b elementwise) instead of the
+            # max-row-scale bound, which overstated by up to max(D)/min(D)
+            wr = jnp.asarray(
+                1.0 / (D[sl] * sc_b[sl, None]), self._dtype
+            )
+            wc = jnp.asarray(
+                1.0 / (E[sl] * sc_c[sl, None]), self._dtype
+            )
             rp, rd, gap = polish_mod.kkt_errors(
-                A_s, P_s, b_s, c_s, xh, yh, sh
+                A_s, P_s, b_s, c_s, xh, yh, sh, wr=wr, wc=wc
             )
             xh = np.asarray(xh, np.float64)
             yh = np.asarray(yh, np.float64)
@@ -780,11 +790,10 @@ class BatchedSCS:
                 if not ok[k]:
                     continue
                 info = results[i]["info"]
-                # original-unit residual norms (cf. Core._residuals
-                # scaling): rp_orig = Dinv * rp_hat / sc_b, etc. — bound
-                # the norm by the max row scale
-                rp_orig = rp[k] * np.max(1.0 / D[i]) / sc_b[i]
-                rd_orig = rd[k] * np.max(1.0 / E[i]) / sc_c[i]
+                # exact original-unit residual norms (the kkt_errors call
+                # above weighted each row by its inverse equilibration)
+                rp_orig = float(rp[k])
+                rd_orig = float(rd[k])
                 if rp_orig > max(info["res_pri"], 1e-9) or rd_orig > max(
                     info["res_dual"], 1e-9
                 ):
