@@ -336,6 +336,77 @@ def _hi_acc_submetric(B=32, m=1500, n=1000):
     return out
 
 
+def _bell_batch_submetric(
+    B=8, m=30720, n=20480, density=0.002, width=6, eps=1e-4
+):
+    """B SPARSE problems solved batched WITHOUT densifying (VERDICT r5
+    item 6): one shared block pattern, per-problem values, vmapped
+    block-ELL SpMV on the chip. The size is chosen so the dense (B, m, n)
+    batch CANNOT exist on this device (A alone ~10 GB, setup peak ~3x
+    that vs 16 GB HBM) — the workload shape the reference handles with B
+    sparse instances on threads (test_free_threading.py:91-96) and the
+    dense batched path simply cannot."""
+    import time as _time
+
+    from scipy import sparse as sp
+
+    from .batch import BatchedSCS
+
+    rng = np.random.RandomState(11)
+    pat = gen_bell_lp(m, n, density, width=width, seed=11)["A"]
+    As, bs_, cs = [], [], []
+    for _ in range(B):
+        Ai = pat.copy()
+        Ai.data = rng.randn(Ai.nnz)
+        Ai = (Ai + sp.eye(m, n, format="csc")).tocsc()
+        x0 = rng.randn(n)
+        s = np.abs(rng.randn(m))
+        y = np.abs(rng.randn(m))
+        As.append(Ai)
+        bs_.append(Ai @ x0 + s)
+        cs.append(-(Ai.T @ y))
+    dense_bytes = B * m * n * 4
+    pack_bytes = None
+
+    t0 = _time.perf_counter()
+    solver = BatchedSCS(
+        {"A": As, "b": np.stack(bs_), "c": np.stack(cs)},
+        {"l": m},
+        solver_strategy="bell", dtype="float32",
+        eps_abs=eps, eps_rel=eps, max_iters=20000, verbose=False,
+    )
+    setup = _time.perf_counter() - t0
+    bell = solver.mats.bell
+    pack_bytes = int(
+        (bell.A_blocks.size + bell.At_blocks.size) * 4
+        + (bell.A_cols.size + bell.At_cols.size) * 4
+    )
+    t0 = _time.perf_counter()
+    res = solver.solve()
+    elapsed = _time.perf_counter() - t0
+    n_solved = sum(r["info"]["status"] == "solved" for r in res)
+    iters = np.array([r["info"]["iter"] for r in res])
+    nnz = int(As[0].nnz)
+    return {
+        "metric": f"bell_batch_b{B}_m{m}_n{n}_sparse_no_densify",
+        "status": "solved" if n_solved == B else "partial",
+        "n_solved": int(n_solved),
+        "batch": B,
+        "nnz_per_problem": nnz,
+        "solve_secs": round(elapsed, 3),
+        "setup_secs": round(setup, 3),
+        "solve_pps": round(B / elapsed, 3),
+        "mean_iters": round(float(iters.mean()), 1),
+        "dense_batch_gb": round(dense_bytes / 1e9, 2),
+        "pack_gb": round(pack_bytes / 1e9, 3),
+        "dense_vs_hbm": round(dense_bytes / 15.75e9, 2),
+        "note": (
+            "dense (B,m,n) batch alone exceeds HBM before setup "
+            "transients; the block-ELL pack is the only operator storage"
+        ),
+    }
+
+
 def _mixed_cone_submetric(B=64, eps=1e-4, seed=3000):
     """The reference's flagship mixed-cone K solved ON THE CHIP (VERDICT
     r5 item 2): z + l + SOC + PSD (incl. a 10-dim block) + exp + dual-exp
@@ -659,6 +730,14 @@ def bench_batched_qp():
         except Exception as exc:  # noqa: BLE001
             mixed_cone = {"status": f"error: {exc}"}
 
+    # --- batched sparse (no densify) on the chip (skippable) -------------
+    bell_batch = None
+    if os.environ.get("BENCH_SKIP_BELLBATCH") != "1":
+        try:
+            bell_batch = _bell_batch_submetric()
+        except Exception as exc:  # noqa: BLE001
+            bell_batch = {"status": f"error: {exc}"}
+
     out = {
         "metric": f"qp_n{n}_m{m}_b{B}_{dtype}_eps{eps:g}_amortized_throughput",
         "value": round(amortized_pps, 3),
@@ -703,6 +782,7 @@ def bench_batched_qp():
         "bell": bell,
         "hi_acc": hi_acc,
         "mixed_cone": mixed_cone,
+        "bell_batch": bell_batch,
     }
     print(json.dumps(out))
     print(
@@ -739,6 +819,16 @@ def bench_batched_qp():
             f"({mixed_cone.get('cone_phase_frac', '?')}), 3-decimal parity "
             f"{mixed_cone.get('obj_3_decimal_parity', '?')}"
             if mixed_cone
+            else ""
+        )
+        + (
+            f"\n# bell-batch (sparse, no densify): {bell_batch['status']} "
+            f"{bell_batch.get('n_solved', '?')}/{bell_batch.get('batch', '?')}"
+            f", {bell_batch.get('solve_secs', '?')}s solve "
+            f"({bell_batch.get('solve_pps', '?')} pps); dense form "
+            f"{bell_batch.get('dense_batch_gb', '?')} GB vs "
+            f"{bell_batch.get('pack_gb', '?')} GB packed"
+            if bell_batch
             else ""
         ),
         file=sys.stderr,

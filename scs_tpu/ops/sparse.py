@@ -227,10 +227,13 @@ class BellMatrix(NamedTuple):
         return f(self.At_blocks, self.At_cols, y_pad)[: self.n]
 
 
-def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
-    """Pack a scipy CSC matrix into a BellMatrix (A and A^T).
+def pack_bell_host(A_csc, block_size=128, np_dtype=np.float32):
+    """Host-side block-ELL pack of (A, A^T): NUMPY arrays only, no device
+    upload. The batched bell path stacks B of these before one H2D
+    transfer — fetching per-problem device arrays back to stack them
+    costs ~2 s each through the tunnel's ~30 MB/s D2H (measured r5).
 
-    Uses the native C++ packer when available, else a numpy fallback.
+    Returns (A_blocks, A_cols, At_blocks, At_cols, col_sq, row_sq).
     """
     from scipy import sparse as sp  # noqa: PLC0415
 
@@ -240,7 +243,6 @@ def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
     A_csc.sort_indices()
     At_csc = sp.csc_matrix(A_csc.T)
     At_csc.sort_indices()
-    m, n = A_csc.shape
 
     def pack(M):
         if native.available:
@@ -248,12 +250,30 @@ def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
         else:
             blocks, cols = _pack_bell_numpy(M, block_size)
         # store tiles transposed: SpMV becomes x_row @ tile (MXU-legal)
-        return np.ascontiguousarray(blocks.transpose(0, 1, 3, 2)), cols
+        return (
+            np.ascontiguousarray(
+                blocks.transpose(0, 1, 3, 2), dtype=np_dtype
+            ),
+            np.asarray(cols, np.int32),
+        )
 
     A_blocks, A_cols = pack(A_csc)
     At_blocks, At_cols = pack(At_csc)
-    d = np.asarray(A_csc.multiply(A_csc).sum(axis=0)).ravel()
-    r = np.asarray(A_csc.multiply(A_csc).sum(axis=1)).ravel()
+    d = np.asarray(A_csc.multiply(A_csc).sum(axis=0), np_dtype).ravel()
+    r = np.asarray(A_csc.multiply(A_csc).sum(axis=1), np_dtype).ravel()
+    return A_blocks, A_cols, At_blocks, At_cols, d, r
+
+
+def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
+    """Pack a scipy CSC matrix into a BellMatrix (A and A^T).
+
+    Uses the native C++ packer when available, else a numpy fallback.
+    """
+    m, n = A_csc.shape
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    A_blocks, A_cols, At_blocks, At_cols, d, r = pack_bell_host(
+        A_csc, block_size, np_dtype
+    )
     return BellMatrix(
         m=m,
         n=n,
@@ -267,15 +287,11 @@ def pack_bell(A_csc, block_size=128, dtype=jnp.float32):
     )
 
 
-def pack_bell_sym(P_csc, block_size=128, dtype=jnp.float32):
-    """Pack a symmetric sparse matrix (full P, not triu) into a one-sided
-    block-ELL operator (solver.PBell): symmetry means a single pack serves
-    P @ x in both orientations; diag(P) is extracted for the Jacobi
-    preconditioner (solver._diagS)."""
+def pack_bell_sym_host(P_csc, block_size=128, np_dtype=np.float32):
+    """Host-side symmetric pack: numpy (blocks, cols, diag), no upload."""
     from scipy import sparse as sp  # noqa: PLC0415
 
     from .. import native  # noqa: PLC0415
-    from ..solver import PBell  # noqa: PLC0415
 
     P_csc = sp.csc_matrix(P_csc)
     P_csc.sort_indices()
@@ -283,11 +299,29 @@ def pack_bell_sym(P_csc, block_size=128, dtype=jnp.float32):
         blocks, cols = native.pack_block_ell(P_csc, block_size)
     else:
         blocks, cols = _pack_bell_numpy(P_csc, block_size)
-    blocks = np.ascontiguousarray(blocks.transpose(0, 1, 3, 2))
+    blocks = np.ascontiguousarray(
+        blocks.transpose(0, 1, 3, 2), dtype=np_dtype
+    )
+    return (
+        blocks,
+        np.asarray(cols, np.int32),
+        np.asarray(P_csc.diagonal(), np_dtype),
+    )
+
+
+def pack_bell_sym(P_csc, block_size=128, dtype=jnp.float32):
+    """Pack a symmetric sparse matrix (full P, not triu) into a one-sided
+    block-ELL operator (solver.PBell): symmetry means a single pack serves
+    P @ x in both orientations; diag(P) is extracted for the Jacobi
+    preconditioner (solver._diagS)."""
+    from ..solver import PBell  # noqa: PLC0415
+
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    blocks, cols, diag = pack_bell_sym_host(P_csc, block_size, np_dtype)
     return PBell(
         blocks=jnp.asarray(blocks, dtype),
         cols=jnp.asarray(cols, jnp.int32),
-        diag=jnp.asarray(P_csc.diagonal(), dtype),
+        diag=jnp.asarray(diag, dtype),
     )
 
 

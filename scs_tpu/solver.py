@@ -530,11 +530,26 @@ class Core:
         rz = jnp.dot(r, z)
 
         def cond(carry):
-            x, r, p, rz, k = carry
-            return (jnp.linalg.norm(r) > tol) & (k < self.stg.cg_max_iters)
+            x, r, p, rz, k, rnrm, best, stall = carry
+            # stagnation exit: in f32 the achievable residual floors at
+            # ~cond(S)*eps*||rhs||; when the schedule's tolerance sits
+            # below that plateau, CG makes no progress and would burn
+            # cg_max_iters EVERY solve — and under vmap one stagnating
+            # problem drags the whole batch to the cap (measured: the
+            # batched bell LP at 0.4 s/iteration vs ~2 ms of SpMV, r5).
+            # ||r|| is NOT monotone in CG, so "stalled" means no new
+            # best-so-far for 12 consecutive iterations — converging CG
+            # sets new bests every few steps even while oscillating
+            # (a short last-vs-current test here falsely exited
+            # mid-convergence and silently corrupted solves).
+            return (
+                (rnrm > tol)
+                & (k < self.stg.cg_max_iters)
+                & (stall < 12)
+            )
 
         def body(carry):
-            x, r, p, rz, k = carry
+            x, r, p, rz, k, rnrm, best, stall = carry
             Ap = mv(p)
             alpha = rz / jnp.dot(p, Ap)
             x = x + alpha * p
@@ -543,9 +558,17 @@ class Core:
             rz_new = jnp.dot(r, z)
             beta = rz_new / rz
             p = z + beta * p
-            return x, r, p, rz_new, k + 1
+            rnrm_new = jnp.linalg.norm(r)
+            stall = jnp.where(rnrm_new < 0.99 * best, 0, stall + 1)
+            best = jnp.minimum(best, rnrm_new)
+            return x, r, p, rz_new, k + 1, rnrm_new, best, stall
 
-        x, r, p, rz, k = lax.while_loop(cond, body, (x0, r, p, rz, jnp.int32(0)))
+        r0 = jnp.linalg.norm(r)
+        x, r, p, rz, k, _, _, _ = lax.while_loop(
+            cond,
+            body,
+            (x0, r, p, rz, jnp.int32(0), r0, r0, jnp.int32(0)),
+        )
         return x, k
 
     def _lin_solve(self, state: State, mats: Mats, rhs, tol):
