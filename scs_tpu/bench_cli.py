@@ -296,9 +296,11 @@ def _hi_acc_submetric(B=32, m=1500, n=1000):
         "max_res_pri": float(rp_max),
         "max_res_dual": float(rd_max),
         "f32_floor_note": (
-            "iterative f32 DR floors at ~1e-5 rel (rounding random-walk "
-            "below iterate quantization; 12.6k iters to 1e-6, measured "
-            "r4); polish reaches ~1e-7 rel KKT in one linear solve"
+            "iterative f32 DR floors at ~1e-6 rel; measured cause is "
+            "PER-STEP f32 solve/matvec noise, not iterate accumulation "
+            "— double-word iterate storage changes nothing "
+            "(tools/df32_iterates_probe.py: rp 7.77e-7 plain vs 7.76e-7 "
+            "compensated); polish reaches ~1e-7 rel KKT in one solve"
         ),
     }
     # compat fields for r4 consumers of this block

@@ -91,14 +91,20 @@ def _polish_one(A, P, b, c, d, eps_reg, refine, zero_mask):
         x, lam = kkt_solve(-c, d * b)
 
         # refinement against the TRUE KKT (P, not Pt; exact mask), with
-        # compensated residuals so the correction targets ~1-ulp
-        for _ in range(refine):
+        # compensated residuals so the correction targets ~1-ulp.
+        # fori_loop, not a Python unroll: this body is traced inside the
+        # repair while_loop, and unrolled refinement tripled the trace /
+        # compile size of the whole polish program (~15 s of host time
+        # per process at the flagship shapes, measured r5)
+        def refine_body(_, xl):
+            x, lam = xl
             Px = df32.mv(P, x) if P.size else jnp.zeros_like(x)
             r1 = -c - Px - df32.tv(A, d * lam)
             r2 = d * (df32.mv(A, x) - b)
             dx, dlam = kkt_solve(r1, -r2)
-            x = x + dx
-            lam = lam + dlam
+            return (x + dx, lam + dlam)
+
+        x, lam = jax.lax.fori_loop(0, refine, refine_body, (x, lam))
         s_raw = b - df32.mv(A, x)
         return x, lam, s_raw
 
@@ -119,17 +125,19 @@ def _polish_one(A, P, b, c, d, eps_reg, refine, zero_mask):
         bind = (d < 0.5) & (s_raw < -tol_s)
         return rel, bind
 
-    x, lam, s_raw = solve_with_mask(d)
     # active-set REPAIR rounds: a borderline eps=1e-4 iterate can
     # misclassify rows; violations tell us exactly which way to flip.
     # The cascade converges but can need ~6-8 rounds on degenerate
     # problems (measured: 74 mis-bound rows decay ~2x per round), so run
-    # under lax.while_loop with an early exit instead of a fixed unroll
-    # — one body instance in the program, rounds only as needed.
+    # under lax.while_loop with an early exit instead of a fixed unroll.
+    # The INITIAL solve is folded into the loop as round k=0 (the flip
+    # masks are gated on k > 0), so solve_with_mask is traced exactly
+    # ONCE in the whole program — the duplicate trace was half the
+    # polish program's compile cost.
     def cond(carry):
         d, x, lam, s_raw, k = carry
         rel, bind = viols(d, lam, s_raw)
-        return (k < 24) & (jnp.any(rel) | jnp.any(bind))
+        return (k == 0) | ((k < 25) & (jnp.any(rel) | jnp.any(bind)))
 
     def body(carry):
         d, x, lam, s_raw, k = carry
@@ -137,16 +145,20 @@ def _polish_one(A, P, b, c, d, eps_reg, refine, zero_mask):
         # are what drive the final iterate to the exact active set; only
         # the LOOP EXIT uses the tolerance, so noise-level stragglers
         # cannot spin the loop but clear violations keep repairing
-        rel = (d > 0.5) & ~zero_mask & (lam < 0.0)
-        bind = (d < 0.5) & (s_raw < 0.0)
+        live = k > 0
+        rel = live & (d > 0.5) & ~zero_mask & (lam < 0.0)
+        bind = live & (d < 0.5) & (s_raw < 0.0)
         d = jnp.where(
             zero_mask, 1.0, jnp.where(rel, 0.0, jnp.where(bind, 1.0, d))
         )
         x, lam, s_raw = solve_with_mask(d)
         return d, x, lam, s_raw, k + 1
 
+    zeros_m = jnp.zeros(m, A.dtype)
     d, x, lam, s_raw, _ = jax.lax.while_loop(
-        cond, body, (d, x, lam, s_raw, jnp.int32(0))
+        cond,
+        body,
+        (d, jnp.zeros(n, A.dtype), zeros_m, zeros_m, jnp.int32(0)),
     )
 
     # no blanket clamp into the cone: zeroing every noise-level negative
