@@ -135,3 +135,24 @@ def test_batched_bell_rejects_dense_input():
              "c": rng.randn(2, 4)},
             {"l": 8}, solver_strategy="bell", verbose=False,
         )
+
+
+def test_batched_bell_reset_resolves_identically():
+    """reset() cold-starts the batched bell states; a second solve of the
+    same packed batch reproduces the first run bit-for-bit in iteration
+    counts and objectives (determinism parity, reference
+    test_scs_coverage.py:2283-2301 scoped per-topology)."""
+    B, m, n = 3, 96, 64
+    data, _ = _gen_sparse_batch(B, m, n, seed=21)
+    s = BatchedSCS(
+        data, {"l": m}, solver_strategy="bell", bell_block_size=32,
+        dtype="float32", eps_abs=1e-5, eps_rel=1e-5,
+        max_iters=20000, verbose=False,
+    )
+    res1 = s.solve()
+    s.reset()
+    res2 = s.solve()
+    for r1, r2 in zip(res1, res2):
+        assert r1["info"]["iter"] == r2["info"]["iter"]
+        assert r1["info"]["pobj"] == r2["info"]["pobj"]
+        np.testing.assert_array_equal(r1["x"], r2["x"])

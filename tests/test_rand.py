@@ -22,7 +22,12 @@ K = {
 m = oracle.cone_dims(K)
 params = {"verbose": False, "eps_abs": 1e-7, "eps_rel": 1e-7, "eps_infeas": 1e-7}
 
-STRATEGIES = ["direct", "indirect"]
+# indirect at eps=1e-7 f64 costs ~12 s per sweep on CPU; the fast tier
+# keeps the direct anchors and the slow tier runs both
+STRATEGIES = [
+    "direct",
+    pytest.param("indirect", marks=pytest.mark.slow),
+]
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)

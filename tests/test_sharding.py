@@ -1,6 +1,7 @@
 """Multi-device tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 from scipy import sparse as _sp
 
 import jax
@@ -97,14 +98,14 @@ def test_sharded_scs_solves_one_problem():
     data, p_star, _ = oracle.gen_feasible(K, n=12, density=0.9, rng=rng)
 
     ref = scs.solve(
-        dict(data), dict(K), eps_abs=1e-7, eps_rel=1e-7, verbose=False,
+        dict(data), dict(K), eps_abs=1e-6, eps_rel=1e-6, verbose=False,
         max_iters=20000,
     )
     assert ref["info"]["status"] == "solved"
 
     mesh = make_mesh(axis_name="rows")
     solver = ShardedSCS(
-        dict(data), dict(K), mesh=mesh, eps_abs=1e-7, eps_rel=1e-7,
+        dict(data), dict(K), mesh=mesh, eps_abs=1e-6, eps_rel=1e-6,
         verbose=False, max_iters=20000,
     )
     # the operator really is distributed: 8 single-device shards of A
@@ -116,13 +117,14 @@ def test_sharded_scs_solves_one_problem():
     np.testing.assert_allclose(sol["x"], ref["x"], rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_scs_update_and_warm_start():
     K = {"l": 22}  # pads to 24
     rng = np.random.RandomState(11)
     data, p_star, _ = oracle.gen_feasible(K, n=10, density=0.9, rng=rng)
     mesh = make_mesh(axis_name="rows")
     solver = ShardedSCS(
-        dict(data), dict(K), mesh=mesh, eps_abs=1e-7, eps_rel=1e-7,
+        dict(data), dict(K), mesh=mesh, eps_abs=1e-6, eps_rel=1e-6,
         verbose=False, max_iters=20000,
     )
     sol = solver.solve()
